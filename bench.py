@@ -1,0 +1,84 @@
+"""Benchmark: batched antibody humanization throughput on one chip.
+
+Metric: humanized candidate sequences per second on the full-size HuDiff-Ab
+denoiser, running the complete reverse OA-ARDM process (185 framework
+positions, one full 291-token forward per position) per candidate.
+
+Baseline: the reference samples sequentially from Python — one host-dispatched
+forward per position at batch size 1 (antibody_scripts/sample.py:499-513,
+default --batch_size 1). The reference repo publishes no numbers (BASELINE.md),
+so the baseline here is that exact loop structure with the same model weights
+on the same chip; ``vs_baseline`` is the speedup of the single fused
+lax.scan program over it.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from hudiff_tpu import constants as C
+    from hudiff_tpu.models.denoiser import AntiTFNet, DenoiserConfig
+    from hudiff_tpu.sampling import sampler as S
+
+    cfg = DenoiserConfig()  # full-size flagship
+    model = AntiTFNet(cfg, dtype=jnp.bfloat16)
+
+    B = 128  # candidate batch: the free throughput axis
+    region_row = np.concatenate([C.HEAVY_REGION_INDEX, C.LIGHT_REGION_INDEX])
+    region = jnp.asarray(np.broadcast_to(region_row, (B, C.PAIR_LEN)).copy())
+    chain = jnp.asarray(np.tile([[0, 2]], (B, 1)))
+
+    cdr = np.concatenate([C.HEAVY_CDR_INDEX, C.LIGHT_CDR_INDEX])
+    fr_positions = np.nonzero(cdr == 0)[0]
+    K = len(fr_positions)
+
+    rs = np.random.RandomState(0)
+    tokens = rs.randint(0, C.N_AA, (B, C.PAIR_LEN)).astype(np.int32)
+    tokens[:, fr_positions] = C.IDX_MSK
+    tokens = jnp.asarray(tokens)
+
+    params = model.init(jax.random.PRNGKey(0), tokens[:1], region[:1], chain[:1])
+    order = S.build_order(fr_positions, B, rng=jax.random.PRNGKey(1))
+
+    run = S.make_jit_sampler(model, params)
+    # compile
+    jax.block_until_ready(run(tokens, region, chain, order, jax.random.PRNGKey(2)))
+    # timed runs
+    n_rep = 3
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        out = run(tokens, region, chain, order, jax.random.PRNGKey(3 + i))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_rep
+    throughput = B / dt
+
+    # reference-style baseline: sequential host loop, batch 1
+    seq_run = S.sequential_reference_sampler(model, params)
+    t1 = jnp.asarray(np.asarray(tokens[:1]))
+    seq_order = order[:1]
+    seq_run(t1, region[:1], chain[:1], seq_order[:, :4], jax.random.PRNGKey(0))  # warm
+    t0 = time.perf_counter()
+    seq_run(t1, region[:1], chain[:1], seq_order, jax.random.PRNGKey(5))
+    baseline_dt = time.perf_counter() - t0
+    baseline_throughput = 1.0 / baseline_dt
+
+    print(json.dumps({
+        "metric": "ab_humanization_throughput",
+        "value": round(throughput, 3),
+        "unit": "seqs/sec/chip",
+        "vs_baseline": round(throughput / baseline_throughput, 2),
+        "detail": {"batch": B, "positions": K,
+                   "scan_sec_per_batch": round(dt, 4),
+                   "sequential_sec_per_seq": round(baseline_dt, 4)},
+    }))
+
+
+if __name__ == '__main__':
+    main()

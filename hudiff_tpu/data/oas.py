@@ -1,0 +1,272 @@
+"""OAS dataset preprocessing and datasets.
+
+Rebuilds the reference data layer (dataset/preprocess.py:27-175,
+dataset/oas_pair_dataset_new.py:129-278, dataset/oas_unpair_dataset_new.py:72-184)
+on top of the framework's RecordStore instead of LMDB.
+
+Input formats:
+- paired OAS ``.csv.gz`` exports with embedded ANARCI numbering JSON columns
+  (``ANARCI_numbering_heavy`` / ``..._light``);
+- unpaired pickled record lists (name, seq, pad_seq, chain, aho_seq, ...).
+
+The IMGT grid placement uses the fixed position tables from
+``hudiff_tpu.constants``; mouse-mode AHo alignment goes through
+``hudiff_tpu.numbering`` (host-side; external ANARCI used when available).
+"""
+from __future__ import annotations
+
+import gzip
+import json
+import logging
+import os
+import pickle
+import random
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import constants as C
+from ..tokenizer import Tokenizer, aho_onehot
+from . import store as rs
+
+log = logging.getLogger(__name__)
+
+
+def place_in_grid(numbering: Dict[str, str], heavy: bool) -> Optional[str]:
+    """Scatter {IMGT label -> residue} into the fixed grid; '-' elsewhere.
+
+    Returns None if any label falls outside the grid (reference drops such
+    rows, preprocess.py:96-98).
+    """
+    pos_dict = C.HEAVY_POSITIONS_IDX if heavy else C.LIGHT_POSITIONS_IDX
+    length = C.HEAVY_LEN if heavy else C.LIGHT_LEN
+    grid = ['-'] * length
+    for key, value in numbering.items():
+        key = key.strip()
+        idx = pos_dict.get(key)
+        if idx is None:
+            return None
+        grid[idx] = value
+    return ''.join(grid)
+
+
+def _parse_anarci_json(raw: str) -> Dict[str, Dict[str, str]]:
+    return json.loads(raw.replace("'", '"'))
+
+
+def parse_cgz_file(path: str, chn_set: set, mouse: bool = False,
+                   is_VHH: bool = False, verbose: bool = False
+                   ) -> Tuple[List[tuple], set]:
+    """Parse one paired OAS .csv.gz into grid-padded records.
+
+    Mirrors reference preprocess.parse_cgz_file: rows with non-heavy heavy
+    locus, 'X' residues, unplaceable labels, or duplicate (H, L) pairs are
+    dropped. ``mouse=True`` additionally computes AHo-aligned sequences via
+    the numbering layer.
+    """
+    import pandas as pd
+    try:
+        frame = pd.read_csv(path, header=1, compression='gzip')
+    except EOFError:
+        log.warning('corrupted GZ-compressed CSV file: %s', path)
+        return [], chn_set
+
+    if mouse:
+        from ..numbering import aho as aho_numbering
+
+    name = os.path.basename(path).replace('.csv.gz', '')
+    out = []
+    for row in frame.itertuples():
+        if row.locus_heavy in ('L', 'K') or row.locus_light == 'H':
+            continue
+        try:
+            h_segs = _parse_anarci_json(row.ANARCI_numbering_heavy)
+            l_segs = _parse_anarci_json(row.ANARCI_numbering_light)
+            h_seq = ''.join(''.join(h_segs[s].values())
+                            for s in C.SEG_NAMES[row.locus_heavy])
+            l_seq = ''.join(''.join(l_segs[s].values())
+                            for s in C.SEG_NAMES[row.locus_light])
+            assert h_seq in row.sequence_alignment_aa_heavy
+            assert l_seq in row.sequence_alignment_aa_light
+            if 'X' in h_seq or 'X' in l_seq:
+                continue
+            h_merged = {k.strip(): v for d in h_segs.values() for k, v in d.items()}
+            l_merged = {k.strip(): v for d in l_segs.values() for k, v in d.items()}
+            h_pad = place_in_grid(h_merged, heavy=True)
+            l_pad = place_in_grid(l_merged, heavy=False)
+            if h_pad is None or l_pad is None:
+                continue
+            if mouse:
+                aho_h = aho_numbering.align_aho(h_seq, is_VHH=is_VHH)
+                aho_l = aho_numbering.align_aho(l_seq, chain=row.locus_light)
+                if aho_h is None or aho_l is None:
+                    continue
+            else:
+                aho_h = aho_l = None
+        except Exception:
+            continue
+
+        if (h_seq, l_seq) in chn_set:
+            continue
+        chn_set.add((h_seq, l_seq))
+        out.append((name, h_seq, l_seq, h_pad, l_pad, aho_h, aho_l,
+                    row.locus_heavy, row.locus_light))
+    return out, chn_set
+
+
+class OasPairDataset:
+    """Paired H/L dataset on a RecordStore, with a persisted train/val split
+    (reference OasPairDataset, oas_pair_dataset_new.py:129-278)."""
+
+    def __init__(self, raw_path: str, mouse: bool = False, version: str = 'tmp',
+                 split_ratio: float = 0.95, seed: int = 2023):
+        self.raw_path = raw_path.rstrip('/')
+        self.cgz_path = os.path.join(self.raw_path, 'new_cgz_data')
+        proc_dir = os.path.join(self.raw_path, 'processed')
+        self.store_path = os.path.join(proc_dir, f'oas_pair_{version}')
+        self.index_path = os.path.join(proc_dir, f'oas_pair_index_{version}.npz')
+        self.mouse = mouse
+        self.split_ratio = split_ratio
+        self.seed = seed
+        if not rs.exists(self.store_path):
+            self._process()
+        self.store = rs.RecordStore(self.store_path)
+        if not os.path.exists(self.index_path):
+            self._write_split(len(self.store))
+        idx = np.load(self.index_path)
+        self.splits = {'train': idx['train'], 'val': idx['val']}
+
+    def _process(self) -> None:
+        chn_set: set = set()
+        records = []
+        for fname in sorted(os.listdir(self.cgz_path)):
+            fpath = os.path.join(self.cgz_path, fname)
+            if os.path.isdir(fpath):
+                continue
+            recs, chn_set = parse_cgz_file(fpath, chn_set, mouse=self.mouse)
+            records.extend(recs)
+        with rs.RecordStoreWriter(self.store_path) as w:
+            for (name, h_seq, l_seq, h_pad, l_pad, aho_h, aho_l,
+                 h_type, l_type) in records:
+                w.put_obj({
+                    'name': name, 'h_seq': h_seq, 'l_seq': l_seq,
+                    'h_pad_seq': h_pad, 'l_pad_seq': l_pad,
+                    'aho_h_pad_seq': aho_h, 'aho_l_pad_seq': aho_l,
+                    'h_type': h_type, 'l_type': l_type,
+                })
+        self._write_split(len(records))
+
+    def _write_split(self, n: int) -> None:
+        ids = np.arange(n)
+        np.random.RandomState(self.seed).shuffle(ids)
+        split = int(n * self.split_ratio)
+        os.makedirs(os.path.dirname(self.index_path), exist_ok=True)
+        np.savez(self.index_path, train=ids[:split], val=ids[split:])
+
+    def __len__(self) -> int:
+        return len(self.store)
+
+    def __getitem__(self, idx: int) -> dict:
+        return self.store[int(idx)]
+
+
+class OasUnpairDataset:
+    """Unpaired heavy/VHH dataset (reference OasUnPairDataset,
+    oas_unpair_dataset_new.py:72-184). Source: pickled list of tuples
+    (name, seq, pad_seq, chain, aho_seq, ...)."""
+
+    def __init__(self, data_path: str, chaintype: str = 'heavy',
+                 split_ratio: float = 0.95, seed: int = 2023):
+        root = os.path.dirname(data_path)
+        self.store_path = os.path.join(root, f'oas_{chaintype}')
+        self.index_path = os.path.join(root, f'oas_{chaintype}_idx.npz')
+        self.split_ratio = split_ratio
+        self.seed = seed
+        if not rs.exists(self.store_path):
+            self._process(data_path)
+        self.store = rs.RecordStore(self.store_path)
+        if not os.path.exists(self.index_path):
+            self._write_split(len(self.store))
+        idx = np.load(self.index_path)
+        self.splits = {'train': idx['train'], 'val': idx['val']}
+
+    def _process(self, data_path: str) -> None:
+        with open(data_path, 'rb') as f:
+            lines = pickle.load(f)
+        with rs.RecordStoreWriter(self.store_path) as w:
+            for line in lines:
+                name, seq, pad_seq, chain, aho_seq = line[:5]
+                w.put_obj({'name': name, 'seq': seq, 'pad_seq': pad_seq,
+                           'chain': chain, 'aho_seq': aho_seq})
+        self._write_split(len(lines))
+
+    def _write_split(self, n: int) -> None:
+        ids = np.arange(n)
+        np.random.RandomState(self.seed).shuffle(ids)
+        split = int(n * self.split_ratio)
+        np.savez(self.index_path, train=ids[:split], val=ids[split:])
+
+    def __len__(self) -> int:
+        return len(self.store)
+
+    def __getitem__(self, idx: int) -> dict:
+        return self.store[int(idx)]
+
+
+# ---------------------------------------------------------------------------
+# Batch assembly (host side): token grids + chain types; the OA-ARDM
+# corruption itself happens on device (ops/masking.py).
+# ---------------------------------------------------------------------------
+
+def pair_batch(records: Sequence[dict], tokenizer: Optional[Tokenizer] = None,
+               with_aho: bool = False) -> Dict[str, np.ndarray]:
+    tok = tokenizer or Tokenizer()
+    B = len(records)
+    tokens = np.empty((B, C.PAIR_LEN), np.int32)
+    chain = np.empty((B, 2), np.int32)
+    for i, r in enumerate(records):
+        tokens[i, : C.HEAVY_LEN] = tok.seq2idx(r['h_pad_seq'])
+        tokens[i, C.HEAVY_LEN:] = tok.seq2idx(r['l_pad_seq'])
+        chain[i, 0] = tok.chain_type_idx(r['h_type'])
+        chain[i, 1] = tok.chain_type_idx(r['l_type'])
+    out = {'tokens': tokens, 'chain_type': chain}
+    if with_aho:
+        out['aho_h'] = np.stack([aho_onehot(r['aho_h_pad_seq']) for r in records])
+        out['aho_l'] = np.stack([aho_onehot(r['aho_l_pad_seq']) for r in records])
+    return out
+
+
+def heavy_batch(records: Sequence[dict], tokenizer: Optional[Tokenizer] = None,
+                with_aho: bool = False, drop_aho_failed: bool = False
+                ) -> Dict[str, np.ndarray]:
+    """Heavy/VHH batch. ``drop_aho_failed`` reproduces the camel collater's
+    filter of rows whose AHo alignment ends in '---'
+    (oas_unpair_dataset_new.py:305)."""
+    tok = tokenizer or Tokenizer()
+    if drop_aho_failed:
+        records = [r for r in records if not r['aho_seq'].endswith('---')]
+    B = len(records)
+    tokens = np.empty((B, C.HEAVY_LEN), np.int32)
+    for i, r in enumerate(records):
+        tokens[i] = tok.seq2idx(r['pad_seq'])
+    out = {'tokens': tokens}
+    if with_aho:
+        out['aho'] = np.stack([aho_onehot(r['aho_seq']) for r in records])
+    return out
+
+
+def batch_iterator(dataset, split_ids: np.ndarray, batch_size: int,
+                   collate, seed: int = 0, drop_last: bool = True,
+                   shuffle: bool = True) -> Iterable[Dict[str, np.ndarray]]:
+    """Infinite epoch-shuffled batch iterator over a dataset split."""
+    rng = random.Random(seed)
+    ids = list(map(int, split_ids))
+    while True:
+        if shuffle:
+            rng.shuffle(ids)
+        for s in range(0, len(ids) - (batch_size - 1 if drop_last else 0),
+                       batch_size):
+            chunk = ids[s:s + batch_size]
+            if not chunk:
+                continue
+            yield collate([dataset[i] for i in chunk])

@@ -1,0 +1,49 @@
+"""Host->device feeding: background prefetch + sharded device puts.
+
+The reference relies on torch DataLoader worker processes; here a light
+background thread keeps a small queue of ready numpy batches while the TPU
+computes, and ``device_put`` lays batches out over the mesh's data axis
+(SURVEY.md §7 "LMDB -> mesh feeding").
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterable, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+def prefetch(it: Iterable, size: int = 2) -> Iterator:
+    """Run ``it`` in a daemon thread, buffering up to ``size`` items."""
+    q: queue.Queue = queue.Queue(maxsize=size)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
+
+
+def device_feed(batches: Iterable[Dict[str, np.ndarray]],
+                sharding: Optional[jax.sharding.Sharding] = None,
+                prefetch_size: int = 2) -> Iterator[Dict[str, jax.Array]]:
+    """Prefetched iterator of device-resident batches (sharded if given)."""
+
+    def put(batch):
+        if sharding is None:
+            return {k: jax.device_put(v) for k, v in batch.items()}
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+    for batch in prefetch(batches, prefetch_size):
+        yield put(batch)

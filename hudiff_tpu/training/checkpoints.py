@@ -1,0 +1,194 @@
+"""Orbax checkpointing with the reference's logical payload.
+
+The reference saves ``{config, model, optimizer, scheduler, iteration}`` on
+best validation loss (antibody_scripts/antibody_train.py:435-445). Here:
+params + opt_state as an Orbax pytree, config/metadata as JSON alongside.
+Also provides the PyTorch->JAX converter for released reference checkpoints.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def save(ckpt_dir: str, step: int, params, opt_state=None,
+         config: Optional[dict] = None, extra: Optional[dict] = None) -> str:
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(ckpt_dir, f'step_{step}'))
+    payload = {'params': params}
+    if opt_state is not None:
+        payload['opt_state'] = opt_state
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    meta = {'step': step, 'config': config or {}, **(extra or {})}
+    with open(os.path.join(ckpt_dir, f'step_{step}.json'), 'w') as f:
+        json.dump(meta, f, indent=2, default=float)
+    _update_latest(ckpt_dir, step)
+    return path
+
+
+def restore(ckpt_dir: str, step: Optional[int] = None, template=None) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f'no checkpoints under {ckpt_dir}')
+    path = os.path.abspath(os.path.join(ckpt_dir, f'step_{step}'))
+    with ocp.StandardCheckpointer() as ckptr:
+        payload = ckptr.restore(path, template) if template is not None \
+            else ckptr.restore(path)
+    meta_path = os.path.join(ckpt_dir, f'step_{step}.json')
+    meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {'step': step}
+    return {'payload': payload, 'meta': meta, 'step': step}
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    marker = os.path.join(ckpt_dir, 'LATEST')
+    if os.path.exists(marker):
+        return int(open(marker).read().strip())
+    steps = []
+    if os.path.isdir(ckpt_dir):
+        for name in os.listdir(ckpt_dir):
+            if name.startswith('step_') and not name.endswith('.json'):
+                try:
+                    steps.append(int(name.split('_', 1)[1]))
+                except ValueError:
+                    pass
+    return max(steps) if steps else None
+
+
+def _update_latest(ckpt_dir: str, step: int) -> None:
+    with open(os.path.join(ckpt_dir, 'LATEST'), 'w') as f:
+        f.write(str(step))
+
+
+# ---------------------------------------------------------------------------
+# PyTorch -> JAX conversion for released reference checkpoints
+# (hudiffab.pt / hudiffnb.pt). Host-side torch-cpu only.
+# ---------------------------------------------------------------------------
+
+def _strip_module_prefix(state_dict: dict) -> dict:
+    """Drop DataParallel 'module.' prefixes (reference antibody_train.py:23-30)."""
+    return {(k[7:] if k.startswith('module.') else k): v
+            for k, v in state_dict.items()}
+
+
+def convert_torch_denoiser(state_dict: dict, pair: bool = True) -> dict:
+    """Map a reference AntiTFNet/NanoAntiTFNet torch state_dict onto this
+    framework's Flax param tree (same architecture family; see
+    models/denoiser.py for the layer correspondence)."""
+    sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, 'detach') else v)
+          for k, v in _strip_module_prefix(state_dict).items()}
+
+    out: dict = {}
+
+    def put(path: str, value: np.ndarray):
+        node = out
+        parts = path.split('/')
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    def dense(dst: str, src: str):
+        put(dst + '/kernel', sd[src + '.weight'].T)
+        if src + '.bias' in sd:
+            put(dst + '/bias', sd[src + '.bias'])
+
+    def layernorm(dst: str, src: str):
+        put(dst + '/scale', sd[src + '.weight'])
+        put(dst + '/bias', sd[src + '.bias'])
+
+    def conv1d(dst: str, src: str):
+        # torch [out, in, k] -> flax [k, in, out]
+        put(dst + '/kernel', sd[src + '.weight'].transpose(2, 1, 0))
+        put(dst + '/bias', sd[src + '.bias'])
+
+    def bytenet_block(dst: str, src: str):
+        # reference sequence1 = [LN, act, PFF, LN, act]; conv; sequence2 = [LN, act, PFF]
+        layernorm(dst + '/LayerNorm_0', src + '.sequence1.0')
+        pff_conv(dst + '/Dense_0', src + '.sequence1.2')
+        layernorm(dst + '/LayerNorm_1', src + '.sequence1.3')
+        conv1d(dst + '/DilatedConv1d_0/Conv_0', src + '.conv')
+        layernorm(dst + '/LayerNorm_2', src + '.sequence2.0')
+        pff_conv(dst + '/Dense_1', src + '.sequence2.2')
+
+    def pff_conv(dst: str, src: str):
+        # sequence_models PositionFeedForward = Conv1d(k=1): [out, in, 1]
+        w = sd[src + '.conv.weight'] if src + '.conv.weight' in sd else sd[src + '.weight']
+        if w.ndim == 3:
+            w = w[:, :, 0]
+        put(dst + '/kernel', w.T)
+        bias_key = src + '.conv.bias' if src + '.conv.bias' in sd else src + '.bias'
+        if bias_key in sd:
+            put(dst + '/bias', sd[bias_key])
+
+    def att_layer(dst: str, src: str):
+        dense(dst + '/query', src + '.query')
+        dense(dst + '/key', src + '.key')
+        dense(dst + '/value', src + '.value')
+        dense(dst + '/out', src + '.out_put')
+
+    def self_att(dst: str, src: str, n_layers: int):
+        for i in range(n_layers):
+            blk_src = f'{src}.layers.{i}'
+            blk_dst = f'{dst}/block_{i}'
+            att_layer(blk_dst + '/attn', blk_src + '.attn_hl')
+            att_layer(blk_dst + '/attn_c', blk_src + '.attn_hl_c')
+            layernorm(blk_dst + '/norm1', blk_src + '.norm_hl1')
+            layernorm(blk_dst + '/norm2', blk_src + '.norm_hl2')
+            dense(blk_dst + '/Dense_0', blk_src + '.ff_hl.0')
+            dense(blk_dst + '/Dense_1', blk_src + '.ff_hl.2')
+
+    def tower(dst: str, src_fmt: str, n_layers: int):
+        for i in range(n_layers):
+            bytenet_block(f'{dst}/ByteNetBlock_{i}', src_fmt.format(i))
+
+    def count_layers(prefix: str) -> int:
+        n = 0
+        while any(k.startswith(f'{prefix}.{n}.') for k in sd):
+            n += 1
+        return n
+
+    put('aa_embed/embedding',
+        sd['aa_encoder.embedder.weight'])
+
+    if pair:
+        n_enc = count_layers('aa_encoder.h_layers')
+        tower('aa_encoder/h_tower', 'aa_encoder.h_layers.{}', n_enc)
+        tower('aa_encoder/l_tower', 'aa_encoder.l_layers.{}', n_enc)
+        put('side_encoder/Embed_0/embedding', sd['side_encoder.side_embeddinng.weight'])
+        dense('side_encoder/Dense_0', 'side_encoder.side_mlp.0')
+        layernorm('side_encoder/LayerNorm_0', 'side_encoder.side_mlp.1')
+        dense('side_encoder/Dense_1', 'side_encoder.side_mlp.3')
+        n_dual = count_layers('dual_conv_block.h_layers')
+        tower('dual_conv/h_tower', 'dual_conv_block.h_layers.{}', n_dual)
+        tower('dual_conv/l_tower', 'dual_conv_block.l_layers.{}', n_dual)
+    else:
+        n_enc = count_layers('aa_encoder.layers')
+        tower('aa_encoder', 'aa_encoder.layers.{}', n_enc)
+        n_dual = count_layers('nano_conv_block.layers')
+        tower('nano_conv', 'nano_conv_block.layers.{}', n_dual)
+
+    put('region_encoder/Embed_0/embedding', sd['region_encoder.region_embedding.weight'])
+    layernorm('region_encoder/LayerNorm_0', 'region_encoder.region_layer1.0')
+    pff_conv('region_encoder/Dense_0', 'region_encoder.region_layer1.2')
+    layernorm('region_encoder/LayerNorm_1', 'region_encoder.region_layer1.3')
+
+    dense('pos_encoder/GatedMLP_0/Dense_0', 'pos_encoder.pos_lin.ln1')
+    dense('pos_encoder/GatedMLP_0/Dense_1', 'pos_encoder.pos_lin.ln2')
+
+    n_att = count_layers('self_at.layers')
+    self_att('self_att', 'self_at', n_att)
+
+    layernorm('last_norm', 'last_norm')
+    dense('decoder', 'decoder')
+    return {'params': out}
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    import torch
+    return torch.load(path, map_location='cpu', weights_only=False)

@@ -1,0 +1,237 @@
+"""Pretraining CLI for HuDiff-Ab (paired) and HuDiff-Nb (heavy-only).
+
+TPU-native rebuild of antibody_scripts/antibody_train.py and
+nanobody_scripts/nanotrain.py: the OA-ARDM corruption + forward + loss +
+update is one jitted device program; data parallelism over the mesh's data
+axis; host keeps the plateau LR scheduler, validation, best-val Orbax
+checkpoints, JSONL/TensorBoard metrics.
+
+Usage:
+  python -m hudiff_tpu.training.pretrain --config configs/antibody_train.yml \
+      --data /path/to/oas_pair_root --logdir ./logs [--resume DIR]
+  python -m hudiff_tpu.training.pretrain --config configs/heavy_train.yml \
+      --data /path/to/heavy.pkl --kind heavy
+  # synthetic smoke run (no data needed):
+  python -m hudiff_tpu.training.pretrain --config configs/antibody_test.yml \
+      --synthetic 256 --max-iter 3
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..data import oas, pipeline
+from ..models.denoiser import AntiTFNet, DenoiserConfig, NanoAntiTFNet
+from ..parallel import mesh as M
+from ..tokenizer import Tokenizer
+from ..utils.config import Namespace, load_yaml
+from . import checkpoints, schedules, train_step as T
+from .logger import (MetricsWriter, count_parameters, get_logger,
+                     get_new_log_dir, seed_all, snapshot_source)
+
+
+def synthetic_batches(kind: str, batch_size: int, seed: int = 0
+                      ) -> Iterator[Dict[str, np.ndarray]]:
+    """Random human-like grids for smoke testing without OAS data."""
+    rs = np.random.RandomState(seed)
+    L = C.PAIR_LEN if kind == 'pair' else C.HEAVY_LEN
+    while True:
+        tokens = rs.randint(0, C.N_AA, (batch_size, L)).astype(np.int32)
+        batch = {'tokens': tokens}
+        if kind == 'pair':
+            batch['chain_type'] = np.stack(
+                [np.zeros(batch_size, np.int32),
+                 rs.choice([1, 2], batch_size).astype(np.int32)], axis=1)
+        yield batch
+
+
+def data_batches(kind: str, data_path: str, batch_size: int, split: str,
+                 seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    tok = Tokenizer()
+    if kind == 'pair':
+        ds = oas.OasPairDataset(data_path)
+        collate = lambda recs: oas.pair_batch(recs, tok)
+    else:
+        ds = oas.OasUnpairDataset(data_path, chaintype='heavy')
+        collate = lambda recs: oas.heavy_batch(recs, tok)
+    return oas.batch_iterator(ds, ds.splits[split], batch_size, collate,
+                              seed=seed, shuffle=(split == 'train'))
+
+
+def run(cfg: Namespace, kind: str, data_path: Optional[str], logdir: str,
+        synthetic: int = 0, max_iter: Optional[int] = None,
+        valid_step: Optional[int] = None, resume: Optional[str] = None,
+        seed: Optional[int] = None, use_bf16: bool = True,
+        tag: str = '') -> str:
+    assert kind in ('pair', 'heavy')
+    seed = seed if seed is not None else cfg.train.get('seed', 2023)
+    seed_all(seed)
+    rng = jax.random.PRNGKey(seed)
+
+    log_dir = get_new_log_dir(logdir, prefix=f'{kind}_pretrain', tag=tag)
+    logger = get_logger('pretrain', log_dir)
+    metrics_writer = MetricsWriter(log_dir)
+    snapshot_source(log_dir)
+
+    model_cfg = DenoiserConfig.from_dict(cfg.model)
+    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    model = (AntiTFNet if kind == 'pair' else NanoAntiTFNet)(model_cfg, dtype=dtype)
+
+    batch_size = cfg.train.batch_size
+    max_iter = max_iter if max_iter is not None else cfg.train.max_iter
+    valid_step = valid_step if valid_step is not None else cfg.train.valid_step
+    batch_acc = cfg.train.get('batch_acc', 1)
+
+    # data
+    if synthetic:
+        train_it = synthetic_batches(kind, batch_size, seed)
+        val_it = synthetic_batches(kind, batch_size, seed + 1)
+    else:
+        train_it = data_batches(kind, data_path, batch_size, 'train', seed)
+        val_it = data_batches(kind, data_path, batch_size, 'val', seed + 1)
+
+    # mesh: pure data-parallel for pretraining
+    mesh = M.make_mesh(model_axis=1)
+    bshard = M.batch_sharding(mesh)
+    train_feed = pipeline.device_feed(train_it, bshard)
+    val_feed = pipeline.device_feed(val_it, bshard)
+
+    # model/optimizer init
+    L = C.PAIR_LEN if kind == 'pair' else C.HEAVY_LEN
+    init_tokens = jnp.zeros((1, L), jnp.int32)
+    init_region = jnp.asarray((T.pair_region_batch(1) if kind == 'pair'
+                               else T.heavy_region_batch(1)))
+    if kind == 'pair':
+        params = model.init(rng, init_tokens, init_region,
+                            jnp.zeros((1, 2), jnp.int32))
+    else:
+        params = model.init(rng, init_tokens, init_region)
+    params = jax.device_put(params, M.replicated(mesh))
+    logger.info('parameters: %d', count_parameters(params))
+
+    tx = schedules.make_optimizer(cfg.train.optimizer,
+                                  clip_norm=cfg.train.get('clip_norm'))
+    state = T.TrainState.create(params, tx)
+
+    sched_cfg = cfg.train.scheduler
+    plateau = schedules.ReduceOnPlateau(
+        init_lr=cfg.train.optimizer.lr,
+        factor=sched_cfg.get('factor', 0.6),
+        patience=sched_cfg.get('patience', 10),
+        min_lr=sched_cfg.get('min_lr', 1e-6))
+
+    if resume:
+        restored = checkpoints.restore(resume, template={
+            'params': state.params, 'opt_state': state.opt_state})
+        state = state.replace(params=restored['payload']['params'],
+                              opt_state=restored['payload']['opt_state'],
+                              step=jnp.asarray(restored['step'], jnp.int32))
+        logger.info('resumed from %s at step %d', resume, restored['step'])
+
+    if kind == 'pair':
+        loss_type = cfg.train.get('loss_type', 'merge')
+        step_fn = T.make_pair_train_step(
+            model, loss_type=loss_type,
+            l_weight=cfg.train.get('l_loss_weight', 1.0))
+        eval_fn = T.make_eval_step(model, loss_type=loss_type,
+                                   l_weight=cfg.train.get('l_loss_weight', 1.0),
+                                   pair=True)
+    else:
+        step_fn = T.make_heavy_train_step(model)
+        eval_fn = T.make_eval_step(model, pair=False)
+
+    best_val = float('inf')
+    ckpt_dir = os.path.join(log_dir, 'checkpoints')
+    os.makedirs(ckpt_dir, exist_ok=True)
+    data_rng = jax.random.PRNGKey(seed + 17)
+
+    start_step = int(state.step)
+    t_start = time.time()
+    it = start_step
+    while it < max_iter:
+        # `batch_acc` optimizer steps per logged iteration (reference
+        # antibody_train.py:55-103 runs batch_acc micro-steps per train(it))
+        agg: Dict[str, float] = {}
+        for _ in range(batch_acc):
+            batch = next(train_feed)
+            if kind == 'pair':
+                state, m = step_fn(state, batch['tokens'], batch['chain_type'],
+                                   data_rng)
+            else:
+                state, m = step_fn(state, batch['tokens'], data_rng)
+            it += 1
+            if it >= max_iter:
+                break
+        m = {k: float(v) for k, v in m.items()}
+        m['lr'] = schedules.get_learning_rate(state.opt_state) or 0.0
+        m['steps_per_sec'] = (it - start_step) / max(time.time() - t_start, 1e-9)
+        metrics_writer.write(it, m, prefix='train')
+        logger.info('iter %d | %s', it,
+                    ' | '.join(f'{k}: {v:.5f}' for k, v in sorted(m.items())))
+
+        if it % max(valid_step, 1) == 0 or it >= max_iter:
+            vbatch = next(val_feed)
+            if kind == 'pair':
+                vm = eval_fn(state.params, vbatch['tokens'],
+                             vbatch['chain_type'], jax.random.fold_in(rng, it))
+            else:
+                vm = eval_fn(state.params, vbatch['tokens'], None,
+                             jax.random.fold_in(rng, it))
+            vm = {k: float(v) for k, v in vm.items()}
+            metrics_writer.write(it, vm, prefix='val')
+            logger.info('valid %d | %s', it,
+                        ' | '.join(f'{k}: {v:.5f}' for k, v in sorted(vm.items())))
+            new_lr = plateau.update(vm['loss'])
+            schedules.set_learning_rate(state.opt_state, new_lr)
+            if vm['loss'] < best_val:
+                best_val = vm['loss']
+                checkpoints.save(ckpt_dir, it, state.params, state.opt_state,
+                                 config={'model': dict(cfg.model),
+                                         'train': cfg.train.to_dict()
+                                         if hasattr(cfg.train, 'to_dict')
+                                         else dict(cfg.train),
+                                         'kind': kind},
+                                 extra={'val_loss': best_val})
+                logger.info('saved best checkpoint at iter %d (val %.5f)',
+                            it, best_val)
+    metrics_writer.close()
+    return log_dir
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--config', required=True)
+    p.add_argument('--kind', choices=['pair', 'heavy'], default=None,
+                   help='inferred from config name if omitted')
+    p.add_argument('--data', default=None)
+    p.add_argument('--logdir', default='./logs')
+    p.add_argument('--synthetic', type=int, default=0,
+                   help='use N synthetic samples instead of real data')
+    p.add_argument('--max-iter', type=int, default=None)
+    p.add_argument('--valid-step', type=int, default=None)
+    p.add_argument('--resume', default=None)
+    p.add_argument('--seed', type=int, default=None)
+    p.add_argument('--fp32', action='store_true')
+    p.add_argument('--tag', default='')
+    args = p.parse_args(argv)
+
+    cfg = load_yaml(args.config)
+    kind = args.kind or ('heavy' if 'heavy' in os.path.basename(args.config)
+                         or cfg.get('name') == 'nano' else 'pair')
+    if not args.synthetic and not args.data:
+        p.error('need --data or --synthetic N')
+    return run(cfg, kind, args.data, args.logdir, synthetic=args.synthetic,
+               max_iter=args.max_iter, valid_step=args.valid_step,
+               resume=args.resume, seed=args.seed, use_bf16=not args.fp32,
+               tag=args.tag)
+
+
+if __name__ == '__main__':
+    main()
