@@ -1,0 +1,183 @@
+"""Needleman-Wunsch alignment of a query sequence onto the 149-column AHo
+grid, anchored by chain-type consensus sequences.
+
+Replaces the external ANARCI/HMMER dependency for numbering
+(reference dataset/abnativ_alignment/align_and_clean.py:11-126 drives
+anarci.anarci). Scoring: BLOSUM62 vs the consensus residue, weighted by the
+per-column conservation index; skipping a column (query deletion) is cheap in
+CDR columns (designed to be empty) and expensive at conserved anchors;
+insertions relative to the 149-column grid are not representable and abort
+the alignment (the reference likewise drops such sequences).
+
+A C++ kernel (csrc/aligner.cc) accelerates the DP when built; this numpy
+implementation is the reference semantics.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .. import constants as C
+from . import consensus as CONS
+
+# BLOSUM62 over the 20 sorted 1-letter residues (standard public matrix).
+_B62 = """
+A  4 C  0 D -2 E -1 F -2 G  0 H -2 I -1 K -1 L -1 M -1 N -2 P -1 Q -1 R -1 S  1 T  0 V  0 W -3 Y -2
+C  0 C  9 D -3 E -4 F -2 G -3 H -3 I -1 K -3 L -1 M -1 N -3 P -3 Q -3 R -3 S -1 T -1 V -1 W -2 Y -2
+D -2 C -3 D  6 E  2 F -3 G -1 H -1 I -3 K -1 L -4 M -3 N  1 P -1 Q  0 R -2 S  0 T -1 V -3 W -4 Y -3
+E -1 C -4 D  2 E  5 F -3 G -2 H  0 I -3 K  1 L -3 M -2 N  0 P -1 Q  2 R  0 S  0 T -1 V -2 W -3 Y -2
+F -2 C -2 D -3 E -3 F  6 G -3 H -1 I  0 K -3 L  0 M  0 N -3 P -4 Q -3 R -3 S -2 T -2 V -1 W  1 Y  3
+G  0 C -3 D -1 E -2 F -3 G  6 H -2 I -4 K -2 L -4 M -3 N  0 P -2 Q -2 R -2 S  0 T -2 V -3 W -2 Y -3
+H -2 C -3 D -1 E  0 F -1 G -2 H  8 I -3 K -1 L -3 M -2 N  1 P -2 Q  0 R  0 S -1 T -2 V -3 W -2 Y  2
+I -1 C -1 D -3 E -3 F  0 G -4 H -3 I  4 K -3 L  2 M  1 N -3 P -3 Q -3 R -3 S -2 T -1 V  3 W -3 Y -1
+K -1 C -3 D -1 E  1 F -3 G -2 H -1 I -3 K  5 L -2 M -1 N  0 P -1 Q  1 R  2 S  0 T -1 V -2 W -3 Y -2
+L -1 C -1 D -4 E -3 F  0 G -4 H -3 I  2 K -2 L  4 M  2 N -3 P -3 Q -2 R -2 S -2 T -1 V  1 W -2 Y -1
+M -1 C -1 D -3 E -2 F  0 G -3 H -2 I  1 K -1 L  2 M  5 N -2 P -2 Q  0 R -1 S -1 T -1 V  1 W -1 Y -1
+N -2 C -3 D  1 E  0 F -3 G  0 H  1 I -3 K  0 L -3 M -2 N  6 P -2 Q  0 R  0 S  1 T  0 V -3 W -4 Y -2
+P -1 C -3 D -1 E -1 F -4 G -2 H -2 I -3 K -1 L -3 M -2 N -2 P  7 Q -1 R -2 S -1 T -1 V -2 W -4 Y -3
+Q -1 C -3 D  0 E  2 F -3 G -2 H  0 I -3 K  1 L -2 M  0 N  0 P -1 Q  5 R  1 S  0 T -1 V -2 W -2 Y -1
+R -1 C -3 D -2 E  0 F -3 G -2 H  0 I -3 K  2 L -2 M -1 N  0 P -2 Q  1 R  5 S -1 T -1 V -3 W -3 Y -2
+S  1 C -1 D  0 E  0 F -2 G  0 H -1 I -2 K  0 L -2 M -1 N  1 P -1 Q  0 R -1 S  4 T  1 V -2 W -3 Y -2
+T  0 C -1 D -1 E -1 F -2 G -2 H -2 I -1 K -1 L -1 M -1 N  0 P -1 Q -1 R -1 S  1 T  5 V  0 W -2 Y -2
+V  0 C -1 D -3 E -2 F -1 G -3 H -3 I  3 K -2 L  1 M  1 N -3 P -2 Q -2 R -3 S -2 T  0 V  4 W -3 Y -1
+W -3 C -2 D -4 E -3 F  1 G -2 H -2 I -3 K -3 L -2 M -1 N -4 P -4 Q -2 R -3 S -3 T -2 V -3 W 11 Y  2
+Y -2 C -2 D -3 E -2 F  3 G -3 H  2 I -1 K -2 L -1 M -1 N -2 P -3 Q -1 R -2 S -2 T -2 V -1 W  2 Y  7
+"""
+
+
+def _build_blosum() -> Dict[Tuple[str, str], float]:
+    """Each row lists (column-residue, score) pairs; the first column residue
+    is the row residue itself."""
+    mat: Dict[Tuple[str, str], float] = {}
+    for row in _B62.strip().split('\n'):
+        parts = row.split()
+        row_aa = parts[0]
+        for k in range(0, len(parts), 2):
+            col_aa, v = parts[k], float(parts[k + 1])
+            mat[(row_aa, col_aa)] = v
+            mat[(col_aa, row_aa)] = v
+    return mat
+
+
+BLOSUM62 = _build_blosum()
+
+# AHo column classes (0-based): CDR columns are cheap to skip; conserved
+# framework anchors are expensive.
+_AHO_CDR_COLS = set(range(26, 42)) | set(range(56, 69)) | set(range(107, 137))
+_ANCHOR_COLS = {22, 105}  # conserved cysteines (AHo positions 23, 106)
+
+
+def _column_costs(conservation) -> np.ndarray:
+    """Per-column cost of leaving the column empty."""
+    cost = np.empty(C.AHO_LEN, np.float64)
+    for j in range(C.AHO_LEN):
+        if j in _ANCHOR_COLS:
+            cost[j] = 12.0
+        elif j in _AHO_CDR_COLS:
+            cost[j] = 0.2
+        else:
+            cost[j] = 2.0 + 2.0 * float(conservation[j])
+    return cost
+
+
+_PROFILE_CACHE: Dict[str, tuple] = {}
+
+
+def _profile(chain_type: str):
+    if chain_type not in _PROFILE_CACHE:
+        cons_seq, conservation = CONS.CONSENSUS[chain_type]
+        score = np.zeros((C.AHO_LEN, 20), np.float64)
+        for j, (c, w) in enumerate(zip(cons_seq, conservation)):
+            if c == '-':
+                for k, q in enumerate(C.AA_1):
+                    score[j, k] = -0.5  # weak penalty for occupying gap columns
+            else:
+                for k, q in enumerate(C.AA_1):
+                    score[j, k] = BLOSUM62[(q, c)] * (0.5 + float(w))
+        _PROFILE_CACHE[chain_type] = (score, _column_costs(conservation))
+    return _PROFILE_CACHE[chain_type]
+
+
+def align_to_aho(seq: str, chain_type: str = 'H') -> Optional[Tuple[str, float]]:
+    """Globally align ``seq`` onto the 149 AHo columns.
+
+    Returns (aligned 149-char string with '-' gaps, score) or None when the
+    sequence cannot be embedded (too long / non-standard residues).
+    """
+    try:
+        q_idx = [C.AA_1.index(a) for a in seq]
+    except ValueError:
+        q_idx = []
+        for a in seq:
+            if a == 'X':
+                q_idx.append(-1)
+            elif a in C.AA_1:
+                q_idx.append(C.AA_1.index(a))
+            else:
+                return None
+    n = len(q_idx)
+    if n > C.AHO_LEN:
+        return None
+    score_mat, skip_cost = _profile(chain_type)
+    try:
+        from . import _native
+        aligned, total = _native.align(q_idx, score_mat, skip_cost)
+        if aligned is not None:
+            return ''.join(seq[i] if i >= 0 else '-' for i in aligned), total
+    except ImportError:
+        pass
+
+    NEG = -1e12
+    m = C.AHO_LEN
+    # dp[i, j]: best score aligning first i query residues to first j columns;
+    # residues must map to columns in order, no insertions.
+    dp = np.full((n + 1, m + 1), NEG)
+    dp[0, 0] = 0.0
+    back = np.zeros((n + 1, m + 1), np.int8)  # 1 = residue in column, 2 = skip column
+    for j in range(1, m + 1):
+        dp[0, j] = dp[0, j - 1] - skip_cost[j - 1]
+        back[0, j] = 2
+    match = np.empty((n, m))
+    for i in range(n):
+        if q_idx[i] >= 0:
+            match[i] = score_mat[:, q_idx[i]]
+        else:
+            match[i] = 0.0
+    for i in range(1, n + 1):
+        for j in range(i, m + 1):  # need j >= i to place i residues
+            diag = dp[i - 1, j - 1] + match[i - 1, j - 1]
+            skip = dp[i, j - 1] - skip_cost[j - 1]
+            if diag >= skip:
+                dp[i, j] = diag
+                back[i, j] = 1
+            else:
+                dp[i, j] = skip
+                back[i, j] = 2
+    if dp[n, m] <= NEG / 2:
+        return None
+    # traceback
+    cols = [-1] * m
+    i, j = n, m
+    while j > 0:
+        if back[i, j] == 1:
+            cols[j - 1] = i - 1
+            i -= 1
+        j -= 1
+    aligned = ''.join(seq[k] if k >= 0 else '-' for k in cols)
+    return aligned, float(dp[n, m])
+
+
+def detect_chain_type(seq: str) -> Tuple[str, str, float]:
+    """Best-scoring consensus -> (chain_group 'H'/'K'/'L', profile key, score)."""
+    best = None
+    for key in ('H', 'K', 'L', 'VHH'):
+        res = align_to_aho(seq, key)
+        if res is None:
+            continue
+        if best is None or res[1] > best[2]:
+            group = 'H' if key in ('H', 'VHH') else key
+            best = (group, key, res[1])
+    if best is None:
+        raise ValueError('sequence could not be aligned to any chain profile')
+    return best

@@ -1,0 +1,350 @@
+"""Humanization CLIs: antibody (paired) and nanobody.
+
+TPU-native rebuild of the reference sampling engines
+(antibody_scripts/sample.py, sample_for_anti_cdr.py,
+nanobody_scripts/nanosample.py, sample_for_nano_cdr.py):
+
+- input grids come from the numbering layer (ANARCI if present, else the
+  built-in consensus aligner);
+- masking variants: pretrain = all framework slots (CDR_INDEX == 0);
+  fine-tune = Kabat-no-vernier framework slots minus grid pads
+  (sample.py:142-179);
+- the whole reverse process runs as ONE jitted lax.scan per batch of
+  candidates (sampling/sampler.py) instead of ~170 host-dispatched forwards;
+- candidate selection by preservation vs the parental sequence
+  (select_the_most_similarity_seq, sample.py:352-367) done on the grids.
+
+Usage:
+  python -m hudiff_tpu.sampling.humanize ab --ckpt CKPT \
+      --data-fpath humanization_pair_data_filter.csv --batch-size 64
+  python -m hudiff_tpu.sampling.humanize ab --ckpt CKPT --hseq ... --lseq ...
+  python -m hudiff_tpu.sampling.humanize nano --ckpt CKPT --vhh-seq ...
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..models.denoiser import AntiTFNet, DenoiserConfig, NanoAntiTFNet
+from ..numbering import align as AL
+from ..numbering import imgt as IMGT
+from ..tokenizer import Tokenizer
+from ..training import checkpoints as CKPT
+from ..training.logger import get_logger, get_new_log_dir, seed_all
+from . import sampler as S
+
+_TOK = Tokenizer()
+
+
+# ---------------------------------------------------------------------------
+# Input construction
+# ---------------------------------------------------------------------------
+
+def pair_input(h_seq: str, l_seq: str, finetune: bool = False
+               ) -> Optional[Dict[str, np.ndarray]]:
+    """Build the 291-grid input for one antibody
+    (reference batch_input_element, sample.py:142-179)."""
+    h = IMGT.grid_string(h_seq, heavy=True, chain_hint='H')
+    try:
+        l_group, l_profile, _ = AL.detect_chain_type(l_seq)
+    except ValueError:
+        return None
+    if l_group == 'H':
+        l_group = 'K'  # light profile mis-detected as heavy: force kappa
+    l = IMGT.grid_string(l_seq, heavy=False, chain_hint=l_group)
+    if h is None or l is None:
+        return None
+
+    tokens = np.concatenate([_TOK.seq2idx(h['grid']), _TOK.seq2idx(l['grid'])])
+    region = np.concatenate([C.HEAVY_REGION_INDEX, C.LIGHT_REGION_INDEX])
+    chain = np.asarray([C.CHAIN_TYPES['H'], C.CHAIN_TYPES[l_group]], np.int32)
+
+    if finetune:
+        cdr = np.concatenate([C.HEAVY_CDR_KABAT_NO_VERNIER,
+                              C.LIGHT_CDR_KABAT_NO_VERNIER])
+        mask = (cdr == 0) & (tokens != C.IDX_PAD)
+    else:
+        cdr = np.concatenate([C.HEAVY_CDR_INDEX, C.LIGHT_CDR_INDEX])
+        mask = cdr == 0
+    positions = np.nonzero(mask)[0].astype(np.int32)
+    src = tokens.copy()
+    src[mask] = C.IDX_MSK
+    return {'tokens': src, 'clean': tokens, 'region': region, 'chain': chain,
+            'positions': positions, 'aho_h': h['aho'], 'aho_l': l['aho']}
+
+
+def nano_input(vhh_seq: str, finetune: bool = False, inpaint: bool = False
+               ) -> Optional[Dict[str, np.ndarray]]:
+    """152-grid input for one nanobody
+    (reference batch_input_element, nanosample.py:124-149)."""
+    h = IMGT.grid_string(vhh_seq, heavy=True, chain_hint='VHH')
+    if h is None:
+        return None
+    tokens = _TOK.seq2idx(h['grid'])
+    region = np.asarray(C.HEAVY_REGION_INDEX)
+    if inpaint:
+        cdr = C.INPAINT_HEAVY_CDR_INDEX
+        mask = cdr == 0
+    elif finetune:
+        cdr = C.HEAVY_CDR_KABAT_NO_VERNIER
+        mask = (cdr == 0) & (tokens != C.IDX_PAD)
+    else:
+        cdr = C.HEAVY_CDR_INDEX
+        mask = cdr == 0
+    positions = np.nonzero(mask)[0].astype(np.int32)
+    src = tokens.copy()
+    src[mask] = C.IDX_MSK
+    return {'tokens': src, 'clean': tokens, 'region': region,
+            'positions': positions, 'aho': h['aho']}
+
+
+# ---------------------------------------------------------------------------
+# Selection / preservation metrics (abnumber-free: compare on grids)
+# ---------------------------------------------------------------------------
+
+def grid_identity(a: np.ndarray, b: np.ndarray) -> float:
+    """Fraction of identical residues over slots occupied in either grid."""
+    occ = (a != C.IDX_PAD) | (b != C.IDX_PAD)
+    if occ.sum() == 0:
+        return 0.0
+    return float(((a == b) & occ).sum() / occ.sum())
+
+
+def select_most_similar(parental: np.ndarray, candidates: np.ndarray) -> int:
+    """Index of the candidate grid most similar to the parental grid
+    (reference select_the_most_similarity_seq, sample.py:352-367)."""
+    scores = [grid_identity(parental, cand) for cand in candidates]
+    return int(np.argmax(scores))
+
+
+# ---------------------------------------------------------------------------
+# Model loading
+# ---------------------------------------------------------------------------
+
+def load_denoiser(ckpt_path: str, kind: str, use_bf16: bool = True):
+    """Load a denoiser from an Orbax run dir or a reference torch .pt file.
+
+    Torch checkpoints: 'pretrain' payloads carry ['config']['model'] +
+    ['model']; 'finetune' payloads carry ['pretrain_config'] + ['model']
+    (reference sample.py:446-454)."""
+    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
+    if ckpt_path.endswith(('.pt', '.pth', '.ckpt')):
+        payload = CKPT.load_torch_checkpoint(ckpt_path)
+        cfg_dict = payload.get('pretrain_config', payload.get('config'))
+        model_cfg = DenoiserConfig.from_dict(dict(cfg_dict['model']))
+        state_dict = payload['model']
+        variables = CKPT.convert_torch_denoiser(state_dict, pair=(kind == 'pair'))
+        finetuned = 'pretrain_config' in payload
+    else:
+        restored = CKPT.restore(ckpt_path)
+        meta_cfg = restored['meta'].get('config', {})
+        model_cfg = DenoiserConfig.from_dict(meta_cfg.get('model', {}))
+        variables = {'params': restored['payload']['params']}
+        finetuned = bool(meta_cfg.get('finetuned', False))
+    model = (AntiTFNet if kind == 'pair' else NanoAntiTFNet)(model_cfg, dtype=dtype)
+    return model, variables, finetuned
+
+
+# ---------------------------------------------------------------------------
+# Batched humanization
+# ---------------------------------------------------------------------------
+
+class PairHumanizer:
+    def __init__(self, model, variables, batch_size: int = 16,
+                 shuffle: bool = True, seed: int = 2023):
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = jax.random.PRNGKey(seed)
+        self.run = S.make_jit_sampler(model, variables)
+
+    def __call__(self, h_seq: str, l_seq: str, finetune: bool = False
+                 ) -> Optional[Dict[str, object]]:
+        inp = pair_input(h_seq, l_seq, finetune=finetune)
+        if inp is None:
+            return None
+        B = self.batch_size
+        tokens = jnp.asarray(np.tile(inp['tokens'], (B, 1)))
+        region = jnp.asarray(np.tile(inp['region'], (B, 1)))
+        chain = jnp.asarray(np.tile(inp['chain'], (B, 1)))
+        self.rng, r_ord, r_samp = jax.random.split(self.rng, 3)
+        order = S.build_order(inp['positions'], B, rng=r_ord,
+                              shuffle=self.shuffle)
+        out = np.asarray(self.run(tokens, region, chain, order, r_samp))
+        h_seqs = [_TOK.idx2seq(row[: C.HEAVY_LEN]) for row in out]
+        l_seqs = [_TOK.idx2seq(row[C.HEAVY_LEN:]) for row in out]
+        best = select_most_similar(inp['clean'], out)
+        return {'h_seqs': h_seqs, 'l_seqs': l_seqs, 'grids': out,
+                'best_idx': best, 'best': (h_seqs[best], l_seqs[best])}
+
+
+class NanoHumanizer:
+    def __init__(self, model, variables, batch_size: int = 16,
+                 shuffle: bool = True, seed: int = 2023):
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = jax.random.PRNGKey(seed)
+        self.run = S.make_jit_sampler(model, variables, has_chain_type=False)
+
+    def __call__(self, vhh_seq: str, finetune: bool = False,
+                 inpaint: bool = False, max_retry: int = 3
+                 ) -> Optional[Dict[str, object]]:
+        inp = nano_input(vhh_seq, finetune=finetune, inpaint=inpaint)
+        if inp is None:
+            return None
+        B = self.batch_size
+        tokens = jnp.asarray(np.tile(inp['tokens'], (B, 1)))
+        region = jnp.asarray(np.tile(inp['region'], (B, 1)))
+        for _ in range(max_retry):
+            self.rng, r_ord, r_samp = jax.random.split(self.rng, 3)
+            order = S.build_order(inp['positions'], B, rng=r_ord,
+                                  shuffle=self.shuffle)
+            out = np.asarray(self.run(tokens, region, order, r_samp))
+            seqs = [_TOK.idx2seq(row) for row in out]
+            # validity retry (reference nanosample.py:338-353): sequences must
+            # still align as heavy chains
+            valid = [s for s in seqs
+                     if AL.align_to_aho(s, 'H') is not None]
+            if valid:
+                best = select_most_similar(inp['clean'], out)
+                return {'seqs': seqs, 'grids': out, 'best_idx': best,
+                        'best': seqs[best]}
+        return None
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+def _write_csv_header(path: str) -> None:
+    with open(path, 'w', encoding='UTF-8') as f:
+        f.write('Specific,name,hseq,lseq,\n')
+
+
+def run_ab(args) -> str:
+    import pandas as pd
+    model, variables, finetuned = load_denoiser(args.ckpt, 'pair',
+                                                use_bf16=not args.fp32)
+    finetune = (args.ckpt_version == 'finetune') if args.ckpt_version else finetuned
+    log_dir = get_new_log_dir(args.logdir, prefix=f'ab_humanize_{args.seed}')
+    logger = get_logger('humanize', log_dir)
+    save_fpath = os.path.join(log_dir, 'sample_humanization_result.csv')
+    _write_csv_header(save_fpath)
+
+    hum = PairHumanizer(model, variables, batch_size=args.batch_size,
+                        shuffle=(args.sample_order == 'shuffle'),
+                        seed=args.seed)
+
+    if args.hseq and args.lseq:
+        pairs = [('input', args.hseq, args.lseq)]
+    else:
+        df = pd.read_csv(args.data_fpath)
+        mouse = df[df['type'] == 'mouse'] if 'type' in df.columns else df
+        pairs = [(str(r.name), r.h_seq, r.l_seq) for r in mouse.itertuples()]
+
+    for name, h_seq, l_seq in pairs:
+        with open(save_fpath, 'a', encoding='UTF-8') as f:
+            f.write(f'mouse,{name},{h_seq},{l_seq}\n')
+        res = hum(h_seq, l_seq, finetune=finetune)
+        if res is None:
+            logger.warning('could not align %s; skipped', name)
+            continue
+        with open(save_fpath, 'a', encoding='UTF-8') as f:
+            if args.similarity_search:
+                g_h, g_l = res['best']
+                f.write(f'humanization,{name}human_sample,{g_h},{g_l}\n')
+            else:
+                seen = set()
+                written = 0
+                for g_h, g_l in zip(res['h_seqs'], res['l_seqs']):
+                    if (g_h, g_l) in seen or written >= args.sample_number:
+                        continue
+                    seen.add((g_h, g_l))
+                    f.write(f'humanization,{name}human_sample,{g_h},{g_l}\n')
+                    written += 1
+        logger.info('humanized %s', name)
+    logger.info('results: %s', save_fpath)
+    return save_fpath
+
+
+def run_nano(args) -> str:
+    import pandas as pd
+    model, variables, finetuned = load_denoiser(args.ckpt, 'heavy',
+                                                use_bf16=not args.fp32)
+    finetune = (args.ckpt_version == 'finetune') if args.ckpt_version else finetuned
+    log_dir = get_new_log_dir(args.logdir, prefix=f'nano_humanize_{args.seed}')
+    logger = get_logger('humanize', log_dir)
+    save_fpath = os.path.join(log_dir, 'sample_humanization_result.csv')
+    with open(save_fpath, 'w', encoding='UTF-8') as f:
+        f.write('Specific,name,vhh_seq,\n')
+
+    hum = NanoHumanizer(model, variables, batch_size=args.batch_size,
+                        shuffle=(args.sample_order == 'shuffle'),
+                        seed=args.seed)
+
+    if args.vhh_seq:
+        rows = [('input', args.vhh_seq)]
+    else:
+        df = pd.read_csv(args.data_fpath)
+        col = 'vhhseq' if 'vhhseq' in df.columns else 'vhh_seq'
+        rows = [(str(i), s) for i, s in enumerate(df[col])]
+
+    for name, seq in rows:
+        with open(save_fpath, 'a', encoding='UTF-8') as f:
+            f.write(f'camel,{name},{seq}\n')
+        res = hum(seq, finetune=finetune, inpaint=args.sample_method == 'inpaint')
+        if res is None:
+            logger.warning('could not align/humanize %s; skipped', name)
+            continue
+        with open(save_fpath, 'a', encoding='UTF-8') as f:
+            if args.similarity_search:
+                f.write(f'humanization,{name}human_sample,{res["best"]}\n')
+            else:
+                for s in dict.fromkeys(res['seqs']):
+                    f.write(f'humanization,{name}human_sample,{s}\n')
+        logger.info('humanized %s', name)
+    logger.info('results: %s', save_fpath)
+    return save_fpath
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest='cmd', required=True)
+    for name in ('ab', 'nano'):
+        q = sub.add_parser(name)
+        q.add_argument('--ckpt', required=True)
+        q.add_argument('--ckpt-version', choices=['pretrain', 'finetune'],
+                       default=None)
+        q.add_argument('--data-fpath', default=None)
+        q.add_argument('--batch-size', type=int, default=16)
+        q.add_argument('--sample-number', type=int, default=1)
+        q.add_argument('--seed', type=int, default=2023)
+        q.add_argument('--sample-order', default='shuffle',
+                       choices=['shuffle', 'sequential'])
+        q.add_argument('--sample-method', default='FR',
+                       choices=['FR', 'inpaint'])
+        q.add_argument('--similarity-search', action='store_true', default=True)
+        q.add_argument('--no-similarity-search', dest='similarity_search',
+                       action='store_false')
+        q.add_argument('--logdir', default='./logs')
+        q.add_argument('--fp32', action='store_true')
+        if name == 'ab':
+            q.add_argument('--hseq', default=None)
+            q.add_argument('--lseq', default=None)
+        else:
+            q.add_argument('--vhh-seq', default=None)
+    args = p.parse_args(argv)
+    seed_all(args.seed)
+    if args.cmd == 'ab':
+        return run_ab(args)
+    return run_nano(args)
+
+
+if __name__ == '__main__':
+    main()
