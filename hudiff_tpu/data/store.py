@@ -58,10 +58,27 @@ class RecordStoreWriter:
 
 
 class RecordStore:
-    """Read-only mmap view over a RecordStoreWriter output."""
+    """Read-only view over a RecordStoreWriter output.
 
-    def __init__(self, path: str):
+    Uses the native C++ reader (csrc/recordstore.cc) when built — GIL-free
+    mmap gathers for pipeline workers — else python mmap."""
+
+    def __init__(self, path: str, native: bool = True):
         self.path = path
+        self._native = None
+        if native:
+            from ..native import load
+            lib = load()
+            if lib is not None:
+                handle = lib.hd_rs_open(path.encode())
+                if handle:
+                    self._native = (lib, ctypes.c_void_p(handle))
+        if self._native is not None:
+            lib, handle = self._native
+            self._n = int(lib.hd_rs_len(handle))
+            self._mm = self._file = None
+            self._entries = None
+            return
         with open(path + '.idx', 'rb') as f:
             magic = f.read(8)
             if magic != _MAGIC:
@@ -79,6 +96,15 @@ class RecordStore:
         return self._n
 
     def get(self, idx: int) -> bytes:
+        if self._native is not None:
+            lib, handle = self._native
+            ln = int(lib.hd_rs_record_len(handle, idx))
+            if ln < 0:
+                raise IndexError(idx)
+            buf = ctypes.create_string_buffer(ln)
+            if lib.hd_rs_get(handle, idx, buf) != 0:
+                raise IndexError(idx)
+            return buf.raw
         off, ln = self._entries[idx]
         return self._mm[off:off + ln]
 
@@ -93,9 +119,15 @@ class RecordStore:
             yield self.get_obj(i)
 
     def close(self) -> None:
+        if self._native is not None:
+            lib, handle = self._native
+            lib.hd_rs_close(handle)
+            self._native = None
+            return
         if self._mm is not None:
             self._mm.close()
-        self._file.close()
+        if self._file is not None:
+            self._file.close()
 
 
 def exists(path: str) -> bool:

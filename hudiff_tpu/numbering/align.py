@@ -123,8 +123,9 @@ def align_to_aho(seq: str, chain_type: str = 'H') -> Optional[Tuple[str, float]]
     try:
         from . import _native
         aligned, total = _native.align(q_idx, score_mat, skip_cost)
-        if aligned is not None:
-            return ''.join(seq[i] if i >= 0 else '-' for i in aligned), total
+        if aligned is None:
+            return None
+        return ''.join(seq[i] if i >= 0 else '-' for i in aligned), total
     except ImportError:
         pass
 
