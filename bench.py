@@ -30,7 +30,7 @@ def main():
     cfg = DenoiserConfig()  # full-size flagship
     model = AntiTFNet(cfg, dtype=jnp.bfloat16)
 
-    B = 128  # candidate batch: the free throughput axis
+    B = 512  # candidate batch: the free throughput axis
     region_row = np.concatenate([C.HEAVY_REGION_INDEX, C.LIGHT_REGION_INDEX])
     region = jnp.asarray(np.broadcast_to(region_row, (B, C.PAIR_LEN)).copy())
     chain = jnp.asarray(np.tile([[0, 2]], (B, 1)))

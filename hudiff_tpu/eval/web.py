@@ -83,6 +83,55 @@ def t20_scores_from_csv(sample_csv: str, region: int = 1) -> Dict[str, float]:
             't20_l_mean': float(np.mean(l)) if l else float('nan')}
 
 
+_HUMAB_URL = 'https://opig.stats.ox.ac.uk/webapps/sabdab-sabpred/sabpred/humab'
+
+
+def humab_scores(h_seq: str, l_seq: str) -> Dict[str, float]:
+    """Hu-mAb classifier scores via the OPIG SAbPred web app
+    (evaluation/humab_eval.py:40-128)."""
+    try:
+        import requests
+    except ImportError as e:
+        raise WebEvalUnavailable('requests not installed') from e
+    try:
+        r = requests.post(_HUMAB_URL, data={'hchain': h_seq, 'lchain': l_seq},
+                          timeout=60)
+        r.raise_for_status()
+    except Exception as e:  # noqa: BLE001
+        raise WebEvalUnavailable(f'Hu-mAb service unreachable: {e}') from e
+    scores = {}
+    for chain, pat in (('h', r'VH[^0-9]*([0-9.]+)'),
+                       ('l', r'V[KL][^0-9]*([0-9.]+)')):
+        m = re.search(pat, r.text)
+        if m:
+            scores[f'humab_{chain}'] = float(m.group(1))
+    if not scores:
+        raise WebEvalUnavailable('Hu-mAb response not parseable')
+    return scores
+
+
+def ablstm_scores(aho_seqs: List[str], model_path: Optional[str] = None
+                  ) -> List[float]:
+    """Local ABLSTM humanness over AHo-aligned sequences
+    (evaluation/ABLSTM_eval.py:17-84). Requires the external `ablstm`
+    package + weights; raises WebEvalUnavailable otherwise."""
+    try:
+        from ablstm import ModelLSTM  # type: ignore
+    except ImportError as e:
+        raise WebEvalUnavailable('ablstm package not installed') from e
+    model = ModelLSTM(embedding_dim=64, hidden_dim=64, device='cpu',
+                      gapped=True)
+    if model_path:
+        model.load(fn=model_path)
+    import tempfile
+    with tempfile.NamedTemporaryFile('w', suffix='.fa', delete=False) as f:
+        for i, s in enumerate(aho_seqs):
+            f.write(f'>{i}\n{s}\n')
+        path = f.name
+    scores = model.eval(fn=path)
+    return [float(s) for s in scores]
+
+
 _ZSCORE_URL = 'http://www.bioinf.org.uk/abs/shab/shab.cgi'
 
 

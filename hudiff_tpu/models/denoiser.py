@@ -18,6 +18,7 @@ from typing import Any, Mapping, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from .. import constants as C
 from ..ops.bytenet import ByteNetStack
@@ -76,15 +77,21 @@ def nano_config(**overrides) -> DenoiserConfig:
 
 class RoPEAttention(nn.Module):
     """Multi-head self-attention with rotary embeddings
-    (reference AttLayer, cross_attention.py:131-173)."""
+    (reference AttLayer, cross_attention.py:131-173).
+
+    On TPU the scores/softmax/AV stage runs as a fused Pallas kernel
+    (ops/pallas_attention.py), avoiding the [B, H, L, L] HBM round-trip.
+    """
     d_model: int
     att_model: int
     nhead: int
     length: int
     dtype: jnp.dtype = jnp.float32
+    use_pallas: str = 'auto'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.pallas_attention import attention as fused_attn
         B, L, _ = x.shape
         head_dim = self.att_model // self.nhead
         dense = lambda name: nn.Dense(self.att_model, dtype=self.dtype,
@@ -97,11 +104,8 @@ class RoPEAttention(nn.Module):
         q = apply_rope(q, cos[:L], sin[:L])
         k = apply_rope(k, cos[:L], sin[:L])
 
-        scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, dtype=jnp.float32))
-        logits = jnp.einsum('blhd,bmhd->bhlm', q, k,
-                            preferred_element_type=jnp.float32) * scale
-        weights = nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum('bhlm,bmhd->blhd', weights, v)
+        scale = 1.0 / float(np.sqrt(head_dim))
+        out = fused_attn(q, k, v, scale, use_pallas=self.use_pallas)
         out = out.reshape(B, L, self.att_model)
         return nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
                         name='out')(out)

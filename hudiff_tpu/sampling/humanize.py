@@ -80,6 +80,57 @@ def pair_input(h_seq: str, l_seq: str, finetune: bool = False
             'positions': positions, 'aho_h': h['aho'], 'aho_l': l['aho']}
 
 
+def pair_inpaint_input(h_seq: str, l_seq: str
+                       ) -> Optional[Dict[str, np.ndarray]]:
+    """Germline-graft inpainting init (reference batch_inpaint_input_element,
+    sample.py:286-310): start from a CDR-grafted template and only resample
+    framework slots where the template residue differs from the parental one.
+
+    Without a germline database the chain-type consensus acts as the graft
+    template (abnumber's graft_cdrs_onto_human_germline equivalent)."""
+    from ..eval.metrics import GridChain
+    from ..numbering import consensus as CONS
+    base = pair_input(h_seq, l_seq, finetune=False)
+    if base is None:
+        return None
+    # consensus templates on the same grids
+    try:
+        h_par = GridChain(h_seq, True, 'H')
+        l_group, _, _ = AL.detect_chain_type(l_seq)
+        l_par = GridChain(l_seq, False, l_group if l_group != 'H' else 'K')
+    except ValueError:
+        return None
+
+    def template_identity(par: GridChain, profile: str) -> np.ndarray:
+        """Grid slots where the parental residue equals the consensus
+        template residue at the same AHo column (both AHo-aligned, so
+        columns correspond; the k-th residue of the AHo alignment occupies
+        the k-th occupied grid slot)."""
+        par_aho = np.asarray(list(par.aho))
+        cons_arr = np.asarray(list(CONS.CONSENSUS[profile][0]))
+        identity_aho = par_aho == cons_arr
+        occ_slots = np.nonzero(par.grid != '-')[0]
+        res_cols = np.nonzero(par_aho != '-')[0]
+        n = min(len(occ_slots), len(res_cols))
+        ident_grid = np.zeros(len(par.grid), bool)
+        ident_grid[occ_slots[:n]] = identity_aho[res_cols[:n]]
+        return ident_grid
+
+    _, l_prof, _ = AL.detect_chain_type(l_seq)
+    identity = np.concatenate([template_identity(h_par, 'H'),
+                               template_identity(l_par, l_prof)])
+
+    cdr = np.concatenate([C.HEAVY_CDR_INDEX, C.LIGHT_CDR_INDEX])
+    # resample only framework slots NOT identical to the template
+    mask = (cdr == 0) & ~identity & (base['clean'] != C.IDX_PAD)
+    positions = np.nonzero(mask)[0].astype(np.int32)
+    src = base['clean'].copy()
+    src[mask] = C.IDX_MSK
+    out = dict(base)
+    out.update({'tokens': src, 'positions': positions})
+    return out
+
+
 def nano_input(vhh_seq: str, finetune: bool = False, inpaint: bool = False
                ) -> Optional[Dict[str, np.ndarray]]:
     """152-grid input for one nanobody
@@ -164,9 +215,10 @@ class PairHumanizer:
         self.rng = jax.random.PRNGKey(seed)
         self.run = S.make_jit_sampler(model, variables)
 
-    def __call__(self, h_seq: str, l_seq: str, finetune: bool = False
-                 ) -> Optional[Dict[str, object]]:
-        inp = pair_input(h_seq, l_seq, finetune=finetune)
+    def __call__(self, h_seq: str, l_seq: str, finetune: bool = False,
+                 inpaint: bool = False) -> Optional[Dict[str, object]]:
+        inp = (pair_inpaint_input(h_seq, l_seq) if inpaint
+               else pair_input(h_seq, l_seq, finetune=finetune))
         if inp is None:
             return None
         B = self.batch_size
@@ -251,7 +303,8 @@ def run_ab(args) -> str:
     for name, h_seq, l_seq in pairs:
         with open(save_fpath, 'a', encoding='UTF-8') as f:
             f.write(f'mouse,{name},{h_seq},{l_seq}\n')
-        res = hum(h_seq, l_seq, finetune=finetune)
+        res = hum(h_seq, l_seq, finetune=finetune,
+                  inpaint=args.sample_method == 'inpaint')
         if res is None:
             logger.warning('could not align %s; skipped', name)
             continue

@@ -76,7 +76,18 @@ def make_jit_sampler(model, params, top: int = SAMPLE_TOP,
 
     Returns ``fn(tokens, region, chain_type, order, rng) -> tokens`` (chain
     type omitted for the nanobody model).
+
+    When the model computes in bfloat16, parameters are cast to bfloat16 ONCE
+    here instead of being re-cast from float32 inside every scan step —
+    halving the per-step HBM weight traffic (the dominant cost at small
+    sequence lengths).
     """
+    if getattr(model, 'dtype', jnp.float32) == jnp.bfloat16:
+        def cast(x):
+            if hasattr(x, 'dtype') and x.dtype == jnp.float32 and x.ndim >= 2:
+                return x.astype(jnp.bfloat16)
+            return x
+        params = jax.tree_util.tree_map(cast, params)
     if has_chain_type:
         def apply_fn(tokens, region, chain):
             return model.apply(params, tokens, region, chain)

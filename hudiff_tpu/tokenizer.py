@@ -84,3 +84,28 @@ def aho_onehot(seq: str, dtype=np.float32) -> np.ndarray:
 
 def aho_onehot_batch(seqs: Sequence[str], dtype=np.float32) -> np.ndarray:
     return np.stack([aho_onehot(s, dtype=dtype) for s in seqs], axis=0)
+
+
+def bert_masked_onehot(seq: str, perc_masked: float, rng: np.random.RandomState,
+                       dtype=np.float32):
+    """BERT-style 80/10/10 masking on the AHo one-hot (reference
+    torch_masking_BERT_onehot with is_masking=True,
+    model/nanoencoder/abnativ_onehot.py:56-119): masked positions become the
+    uniform vector [1/21]*21, 10% are replaced by a random residue, 10% kept.
+
+    Returns (clean_onehot, masked_onehot). Used when training AbNatiV-style
+    scorers; the runtime scoring path uses plain aho_onehot.
+    """
+    clean = aho_onehot(seq, dtype=dtype)
+    masked = clean.copy()
+    n = len(seq)
+    n_masking = int(np.floor(n * perc_masked))
+    n_mask = int(np.floor(n_masking * 0.8))
+    n_replace = int(np.floor(n_masking * 0.1))
+    if n_mask:
+        ids = rng.permutation(n)[: n_mask + n_replace]
+        V = C.ABNATIV_ALPHABET_SIZE
+        masked[ids[:n_mask]] = 1.0 / V
+        repl = rng.randint(0, V, n_replace)
+        masked[ids[n_mask:]] = np.eye(V, dtype=dtype)[repl]
+    return clean, masked
