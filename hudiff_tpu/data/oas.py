@@ -170,6 +170,41 @@ class OasPairDataset:
         return self.store[int(idx)]
 
 
+def build_vhh_dataset_from_csv(csv_path: str, out_dir: str,
+                               seq_column: Optional[str] = None,
+                               is_VHH: bool = True) -> str:
+    """Build a VHH fine-tuning dataset pickle from a raw sequence CSV
+    (e.g. the shipped abnativ_select_vhh.csv) using the numbering layer for
+    IMGT grid placement and AHo alignment — the path the reference assumes
+    was run externally to produce its pickled lists.
+
+    Returns the pickle path (feed to OasUnpairDataset(chaintype='vhh')).
+    """
+    import pandas as pd
+    from ..numbering import aho as aho_numbering
+    from ..numbering import imgt as imgt_numbering
+
+    df = pd.read_csv(csv_path)
+    col = seq_column or ('vhhseq' if 'vhhseq' in df.columns else
+                         'vhh_seq' if 'vhh_seq' in df.columns else
+                         df.columns[-1])
+    lines = []
+    for i, seq in enumerate(df[col]):
+        placed = imgt_numbering.grid_string(seq, heavy=True,
+                                            chain_hint='VHH' if is_VHH else 'H')
+        aho_seq = aho_numbering.align_aho(seq, is_VHH=is_VHH)
+        if placed is None or aho_seq is None:
+            log.warning('row %d unalignable; skipped', i)
+            continue
+        lines.append((f'vhh_{i}', seq, placed['grid'], 'H', aho_seq))
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, 'vhh_dataset.pkl')
+    with open(out_path, 'wb') as f:
+        pickle.dump(lines, f)
+    log.info('wrote %d/%d VHH records to %s', len(lines), len(df), out_path)
+    return out_path
+
+
 class OasUnpairDataset:
     """Unpaired heavy/VHH dataset (reference OasUnPairDataset,
     oas_unpair_dataset_new.py:72-184). Source: pickled list of tuples
@@ -258,15 +293,19 @@ def heavy_batch(records: Sequence[dict], tokenizer: Optional[Tokenizer] = None,
 def batch_iterator(dataset, split_ids: np.ndarray, batch_size: int,
                    collate, seed: int = 0, drop_last: bool = True,
                    shuffle: bool = True) -> Iterable[Dict[str, np.ndarray]]:
-    """Infinite epoch-shuffled batch iterator over a dataset split."""
+    """Infinite epoch-shuffled batch iterator over a dataset split.
+
+    When the split is smaller than ``batch_size`` the whole split is yielded
+    each epoch (otherwise drop_last would starve the training loop)."""
     rng = random.Random(seed)
     ids = list(map(int, split_ids))
+    if not ids:
+        raise ValueError('empty dataset split')
+    effective_drop_last = drop_last and len(ids) >= batch_size
     while True:
         if shuffle:
             rng.shuffle(ids)
-        for s in range(0, len(ids) - (batch_size - 1 if drop_last else 0),
-                       batch_size):
+        stop = (len(ids) - batch_size + 1) if effective_drop_last else len(ids)
+        for s in range(0, stop, batch_size):
             chunk = ids[s:s + batch_size]
-            if not chunk:
-                continue
             yield collate([dataset[i] for i in chunk])

@@ -55,16 +55,25 @@ def pair_from_fasta(path: str) -> Tuple[str, str]:
     from ..numbering import align as AL
     for header, seq in records:
         tag = header.upper()
-        if 'VH' in tag or ':H' in tag or tag.endswith('_H'):
+        if 'HEAVY' in tag or 'VH' in tag:
             h_seq = h_seq or seq
-        elif 'VL' in tag or 'VK' in tag or ':L' in tag or tag.endswith('_L'):
+            continue
+        if 'LIGHT' in tag or 'VL' in tag or 'VK' in tag:
             l_seq = l_seq or seq
+            continue
+        # untagged record: detect by alignment; non-antibody chains in a
+        # complex FASTA (antigens etc.) simply don't align -> skip them
+        try:
+            group, _, score = AL.detect_chain_type(seq)
+        except ValueError:
+            continue
+        # weak alignments are non-antibody chains that happened to embed
+        if score < 100.0:
+            continue
+        if group == 'H':
+            h_seq = h_seq or seq
         else:
-            group, _, _ = AL.detect_chain_type(seq)
-            if group == 'H':
-                h_seq = h_seq or seq
-            else:
-                l_seq = l_seq or seq
+            l_seq = l_seq or seq
     if h_seq is None or l_seq is None:
         raise ValueError(f'FASTA {path} does not contain a VH/VL pair')
     return h_seq, l_seq

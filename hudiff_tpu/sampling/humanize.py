@@ -188,11 +188,23 @@ def load_denoiser(ckpt_path: str, kind: str, use_bf16: bool = True):
     dtype = jnp.bfloat16 if use_bf16 else jnp.float32
     if ckpt_path.endswith(('.pt', '.pth', '.ckpt')):
         payload = CKPT.load_torch_checkpoint(ckpt_path)
-        cfg_dict = payload.get('pretrain_config', payload.get('config'))
-        model_cfg = DenoiserConfig.from_dict(dict(cfg_dict['model']))
+        cfg_dict = payload.get('pretrain_config',
+                               payload.get('infilling_params',
+                                           payload.get('config')))
+        model_cfg = DenoiserConfig.from_dict(
+            dict(cfg_dict['model'] if 'model' in cfg_dict else cfg_dict))
         state_dict = payload['model']
+        # nb fine-tune checkpoints carry the whole framework; extract the
+        # infilling denoiser by prefix (reference get_multi_model_state,
+        # nanosample.py:185-193)
+        if any(k.startswith('infilling_pretrain.') for k in state_dict):
+            state_dict = {k.partition('infilling_pretrain.')[2]: v
+                          for k, v in state_dict.items()
+                          if k.startswith('infilling_pretrain.')}
+            finetuned = True
+        else:
+            finetuned = 'pretrain_config' in payload
         variables = CKPT.convert_torch_denoiser(state_dict, pair=(kind == 'pair'))
-        finetuned = 'pretrain_config' in payload
     else:
         restored = CKPT.restore(ckpt_path)
         meta_cfg = restored['meta'].get('config', {})
@@ -293,7 +305,13 @@ def run_ab(args) -> str:
                         shuffle=(args.sample_order == 'shuffle'),
                         seed=args.seed)
 
-    if args.hseq and args.lseq:
+    if args.fasta:
+        # single-antibody humanization from a (complex) FASTA
+        # (reference sample_for_anti_cdr.py:53-70)
+        from ..eval.biophi import pair_from_fasta
+        h_seq, l_seq = pair_from_fasta(args.fasta)
+        pairs = [(os.path.basename(args.fasta), h_seq, l_seq)]
+    elif args.hseq and args.lseq:
         pairs = [('input', args.hseq, args.lseq)]
     else:
         df = pd.read_csv(args.data_fpath)
@@ -341,7 +359,13 @@ def run_nano(args) -> str:
                         shuffle=(args.sample_order == 'shuffle'),
                         seed=args.seed)
 
-    if args.vhh_seq:
+    if args.fasta:
+        # first heavy-type record of a FASTA
+        # (reference sample_for_nano_cdr.get_nano_seq_from_fasta, :32-46)
+        from ..eval.biophi import read_fasta
+        records = read_fasta(args.fasta)
+        rows = [(records[0][0].split()[0], records[0][1])]
+    elif args.vhh_seq:
         rows = [('input', args.vhh_seq)]
     else:
         df = pd.read_csv(args.data_fpath)
@@ -387,6 +411,8 @@ def main(argv=None):
                        action='store_false')
         q.add_argument('--logdir', default='./logs')
         q.add_argument('--fp32', action='store_true')
+        q.add_argument('--fasta', default=None,
+                       help='humanize the chain pair / nanobody in this FASTA')
         if name == 'ab':
             q.add_argument('--hseq', default=None)
             q.add_argument('--lseq', default=None)

@@ -414,6 +414,8 @@ def main(argv=None):
         q.add_argument('--synthetic', action='store_true')
         q.add_argument('--max-iter', type=int, default=None)
         q.add_argument('--valid-step', type=int, default=None)
+        q.add_argument('--batch-size', type=int, default=None,
+                       help='override the config batch size')
         q.add_argument('--fp32', action='store_true')
         q.add_argument('--tag', default='')
         if name == 'ab':
@@ -427,6 +429,8 @@ def main(argv=None):
             q.add_argument('--cross-training', action='store_true')
     args = p.parse_args(argv)
     cfg = load_yaml(args.config)
+    if args.batch_size:
+        cfg.finetune.batch_size = args.batch_size
     if args.cmd == 'ab':
         return run_ab(cfg, args)
     return run_nano(cfg, args)

@@ -219,6 +219,8 @@ def main(argv=None):
     p.add_argument('--resume', default=None)
     p.add_argument('--seed', type=int, default=None)
     p.add_argument('--fp32', action='store_true')
+    p.add_argument('--profile', action='store_true',
+                   help='capture a jax.profiler trace of the first iterations')
     p.add_argument('--tag', default='')
     args = p.parse_args(argv)
 
@@ -227,6 +229,16 @@ def main(argv=None):
                          or cfg.get('name') == 'nano' else 'pair')
     if not args.synthetic and not args.data:
         p.error('need --data or --synthetic N')
+    if args.profile:
+        import jax.profiler
+        trace_dir = os.path.join(args.logdir, 'profile')
+        with jax.profiler.trace(trace_dir):
+            out = run(cfg, kind, args.data, args.logdir,
+                      synthetic=args.synthetic, max_iter=args.max_iter,
+                      valid_step=args.valid_step, resume=args.resume,
+                      seed=args.seed, use_bf16=not args.fp32, tag=args.tag)
+        print(f'profiler trace written to {trace_dir}')
+        return out
     return run(cfg, kind, args.data, args.logdir, synthetic=args.synthetic,
                max_iter=args.max_iter, valid_step=args.valid_step,
                resume=args.resume, seed=args.seed, use_bf16=not args.fp32,

@@ -40,8 +40,9 @@ def test_scan_sampler_fills_all_masked():
 
 
 def test_order_padding_noop():
-    model, params, region = _tiny_nano()
+    model, params, _ = _tiny_nano()
     tokens = jnp.full((1, C.HEAVY_LEN), 3, jnp.int32)
+    region = jnp.broadcast_to(jnp.asarray(C.HEAVY_REGION_INDEX), (1, C.HEAVY_LEN))
     # order entirely -1: nothing should change
     order = jnp.full((1, 7), -1, jnp.int32)
     run = S.make_jit_sampler(model, params, has_chain_type=False)
@@ -52,7 +53,8 @@ def test_order_padding_noop():
 def test_scan_matches_sequential_semantics():
     """Scan sampler and reference-style host loop draw identical tokens when
     fed the same per-step RNG stream and order."""
-    model, params, region = _tiny_nano()
+    model, params, _ = _tiny_nano()
+    region = jnp.broadcast_to(jnp.asarray(C.HEAVY_REGION_INDEX), (1, C.HEAVY_LEN))
     cdr = np.asarray(C.HEAVY_CDR_INDEX)
     fr = np.nonzero(cdr == 0)[0][:10]  # short order for speed
     tokens = np.random.RandomState(1).randint(0, C.N_AA, (1, C.HEAVY_LEN))
