@@ -128,8 +128,8 @@ class SelfAttBlock(nn.Module):
                                self.length, dtype=self.dtype, name='attn')(x)
         at = at + RoPEAttention(self.d_model, self.att_model, self.nhead,
                                 self.length, dtype=self.dtype, name='attn_c')(
-            nn.LayerNorm(dtype=jnp.float32, name='norm1')(at))
-        h = nn.LayerNorm(dtype=jnp.float32, name='norm2')(at)
+            nn.LayerNorm(dtype=self.dtype, name='norm1')(at))
+        h = nn.LayerNorm(dtype=self.dtype, name='norm2')(at)
         h = nn.Dense(self.dim_feedforward, dtype=self.dtype,
                      param_dtype=jnp.float32)(h)
         h = nn.relu(h)
@@ -220,7 +220,7 @@ class AntiTFNet(nn.Module):
         feature = SelfAttNet(cfg.sum_d_model, cfg.att_model, cfg.dim_feedforward,
                              cfg.nhead, cfg.max_len, cfg.cs_layers,
                              dtype=self.dtype, name='self_att')(feature)
-        feature = nn.LayerNorm(dtype=jnp.float32, name='last_norm')(feature)
+        feature = nn.LayerNorm(dtype=self.dtype, name='last_norm')(feature)
         return nn.Dense(cfg.n_tokens, dtype=jnp.float32, param_dtype=jnp.float32,
                         name='decoder')(feature.astype(jnp.float32))
 
@@ -257,6 +257,6 @@ class NanoAntiTFNet(nn.Module):
         feature = SelfAttNet(cfg.sum_d_model, cfg.att_model, cfg.dim_feedforward,
                              cfg.nhead, cfg.max_len, cfg.cs_layers,
                              dtype=self.dtype, name='self_att')(feature)
-        feature = nn.LayerNorm(dtype=jnp.float32, name='last_norm')(feature)
+        feature = nn.LayerNorm(dtype=self.dtype, name='last_norm')(feature)
         return nn.Dense(cfg.n_tokens, dtype=jnp.float32, param_dtype=jnp.float32,
                         name='decoder')(feature.astype(jnp.float32))

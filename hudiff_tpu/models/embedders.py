@@ -76,7 +76,7 @@ class SideEmbedder(nn.Module):
         emb = nn.Embed(self.n_side, self.s_embedding, param_dtype=jnp.float32,
                        dtype=self.dtype)(chain_type)          # [B, 2, s]
         h = nn.Dense(self.d, dtype=self.dtype, param_dtype=jnp.float32)(emb)
-        h = nn.LayerNorm(dtype=jnp.float32)(h)
+        h = nn.LayerNorm(dtype=self.dtype)(h)
         h = nn.relu(h)
         h = nn.Dense(self.d, dtype=self.dtype, param_dtype=jnp.float32)(h)  # [B, 2, d]
         h_side = jnp.repeat(h[:, 0:1, :], self.h_len, axis=1)
@@ -97,7 +97,7 @@ class NanoSideEmbedder(nn.Module):
         emb = nn.Embed(self.n_side, self.s_embedding, param_dtype=jnp.float32,
                        dtype=self.dtype)(chain_type)          # [B, s]
         h = nn.Dense(self.d, dtype=self.dtype, param_dtype=jnp.float32)(emb)
-        h = nn.LayerNorm(dtype=jnp.float32)(h)
+        h = nn.LayerNorm(dtype=self.dtype)(h)
         h = nn.relu(h)
         h = nn.Dense(self.d, dtype=self.dtype, param_dtype=jnp.float32)(h)
         return jnp.repeat(h[:, None, :], self.h_len, axis=1)
@@ -114,8 +114,8 @@ class RegionEmbedder(nn.Module):
     def __call__(self, region: jnp.ndarray) -> jnp.ndarray:
         x = nn.Embed(self.n_region, self.r_embedding, param_dtype=jnp.float32,
                      dtype=self.dtype)(region)
-        x = nn.LayerNorm(dtype=jnp.float32)(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Dense(self.d, dtype=self.dtype, param_dtype=jnp.float32)(x)
-        x = nn.LayerNorm(dtype=jnp.float32)(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
         return nn.relu(x)

@@ -61,13 +61,13 @@ class ByteNetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         act = nn.relu if self.activation == 'relu' else nn.gelu
-        h = nn.LayerNorm(dtype=jnp.float32)(x)
+        h = nn.LayerNorm(dtype=self.dtype)(x)
         h = act(h)
         h = nn.Dense(self.d_h, dtype=self.dtype, param_dtype=jnp.float32)(h)
-        h = nn.LayerNorm(dtype=jnp.float32)(h)
+        h = nn.LayerNorm(dtype=self.dtype)(h)
         h = act(h)
         h = DilatedConv1d(self.d_h, self.kernel_size, self.dilation, dtype=self.dtype)(h)
-        h = nn.LayerNorm(dtype=jnp.float32)(h)
+        h = nn.LayerNorm(dtype=self.dtype)(h)
         h = act(h)
         h = nn.Dense(self.d_out, dtype=self.dtype, param_dtype=jnp.float32)(h)
         return x + h

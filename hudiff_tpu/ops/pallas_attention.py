@@ -26,33 +26,37 @@ except ImportError:  # pragma: no cover
     _HAS_PLTPU = False
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32)          # [L, D]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    p = jax.nn.softmax(s, axis=-1)
-    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    o_ref[0] = o.astype(o_ref.dtype)
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, heads: int):
+    # block carries all heads of one batch element: [H, L, D]; the head loop
+    # is statically unrolled so per-program overhead amortizes over H
+    # attention computations.
+    for h in range(heads):
+        q = q_ref[0, h].astype(jnp.float32)          # [L, D]
+        k = k_ref[0, h].astype(jnp.float32)
+        v = v_ref[0, h]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, h] = o.astype(o_ref.dtype)
 
 
 def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: float, interpret: bool = False) -> jnp.ndarray:
-    """softmax(q k^T * scale) v, fused per (batch*head).
+    """softmax(q k^T * scale) v, fused per batch element (all heads).
 
-    q/k/v: [N, L, D] where N = batch*heads. Returns [N, L, D] (v dtype).
+    q/k/v: [B, H, L, D]. Returns [B, H, L, D] (v dtype).
     """
-    N, L, D = q.shape
-    kernel = functools.partial(_attn_kernel, scale=scale)
-    block = pl.BlockSpec((1, L, D), lambda n: (n, 0, 0))
+    B, H, L, D = q.shape
+    kernel = functools.partial(_attn_kernel, scale=scale, heads=H)
+    block = pl.BlockSpec((1, H, L, D), lambda b: (b, 0, 0, 0))
     return pl.pallas_call(
         kernel,
-        grid=(N,),
+        grid=(B,),
         in_specs=[block, block, block],
         out_specs=block,
-        out_shape=jax.ShapeDtypeStruct((N, L, D), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, L, D), v.dtype),
         interpret=interpret,
     )(q, k, v)
 
@@ -75,9 +79,9 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
         return attention(q, k, v, scale, use_pallas='never')
     interpret = not on_tpu
 
-    def to_nld(x):
-        return x.transpose(0, 2, 1, 3).reshape(B * H, L, D)
+    def to_bhld(x):
+        return x.transpose(0, 2, 1, 3)
 
-    o = fused_attention(to_nld(q), to_nld(k), to_nld(v), scale,
+    o = fused_attention(to_bhld(q), to_bhld(k), to_bhld(v), scale,
                         interpret=interpret)
-    return o.reshape(B, H, L, D).transpose(0, 2, 1, 3)
+    return o.transpose(0, 2, 1, 3)

@@ -209,7 +209,10 @@ def load_denoiser(ckpt_path: str, kind: str, use_bf16: bool = True):
         restored = CKPT.restore(ckpt_path)
         meta_cfg = restored['meta'].get('config', {})
         model_cfg = DenoiserConfig.from_dict(meta_cfg.get('model', {}))
-        variables = {'params': restored['payload']['params']}
+        # the pretrain loop stores full Flax variables ({'params': ...}, from
+        # model.init) in the payload's 'params' slot — don't double-wrap
+        tree = restored['payload']['params']
+        variables = tree if 'params' in tree else {'params': tree}
         finetuned = bool(meta_cfg.get('finetuned', False))
     model = (AntiTFNet if kind == 'pair' else NanoAntiTFNet)(model_cfg, dtype=dtype)
     return model, variables, finetuned

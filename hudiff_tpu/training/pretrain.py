@@ -89,13 +89,15 @@ def run(cfg: Namespace, kind: str, data_path: Optional[str], logdir: str,
     valid_step = valid_step if valid_step is not None else cfg.train.valid_step
     batch_acc = cfg.train.get('batch_acc', 1)
 
-    # data
+    # data (each host shuffles with its own seed -> disjoint-ish shards over
+    # DCN without a central sampler; SURVEY.md §2.3)
+    data_seed = seed + 1000 * jax.process_index()
     if synthetic:
-        train_it = synthetic_batches(kind, batch_size, seed)
-        val_it = synthetic_batches(kind, batch_size, seed + 1)
+        train_it = synthetic_batches(kind, batch_size, data_seed)
+        val_it = synthetic_batches(kind, batch_size, data_seed + 1)
     else:
-        train_it = data_batches(kind, data_path, batch_size, 'train', seed)
-        val_it = data_batches(kind, data_path, batch_size, 'val', seed + 1)
+        train_it = data_batches(kind, data_path, batch_size, 'train', data_seed)
+        val_it = data_batches(kind, data_path, batch_size, 'val', data_seed + 1)
 
     # mesh: pure data-parallel for pretraining
     mesh = M.make_mesh(model_axis=1)
@@ -221,6 +223,10 @@ def main(argv=None):
     p.add_argument('--fp32', action='store_true')
     p.add_argument('--profile', action='store_true',
                    help='capture a jax.profiler trace of the first iterations')
+    p.add_argument('--multihost', action='store_true',
+                   help='initialize jax.distributed for multi-host (DCN) '
+                        'training; each host feeds its own data shard '
+                        '(SURVEY.md §2.3)')
     p.add_argument('--tag', default='')
     args = p.parse_args(argv)
 
@@ -229,10 +235,21 @@ def main(argv=None):
                          or cfg.get('name') == 'nano' else 'pair')
     if not args.synthetic and not args.data:
         p.error('need --data or --synthetic N')
+    if args.multihost:
+        # jax.distributed.initialize() blocks until every process reaches the
+        # coordinator; without cluster env it would hang forever — fail fast.
+        if not (os.environ.get('COORDINATOR_ADDRESS')
+                or os.environ.get('JAX_COORDINATOR_ADDRESS')
+                or os.environ.get('TPU_WORKER_HOSTNAMES')
+                or os.environ.get('MEGASCALE_COORDINATOR_ADDRESS')):
+            p.error('--multihost needs a cluster environment '
+                    '(set JAX_COORDINATOR_ADDRESS / run under a TPU pod '
+                    'launcher); none detected')
+        jax.distributed.initialize()  # coordinator/process env-configured
     if args.profile:
-        import jax.profiler
+        from jax import profiler as jax_profiler
         trace_dir = os.path.join(args.logdir, 'profile')
-        with jax.profiler.trace(trace_dir):
+        with jax_profiler.trace(trace_dir):
             out = run(cfg, kind, args.data, args.logdir,
                       synthetic=args.synthetic, max_iter=args.max_iter,
                       valid_step=args.valid_step, resume=args.resume,
