@@ -38,9 +38,22 @@ def restore(ckpt_dir: str, step: Optional[int] = None, template=None) -> Dict[st
         if step is None:
             raise FileNotFoundError(f'no checkpoints under {ckpt_dir}')
     path = os.path.abspath(os.path.join(ckpt_dir, f'step_{step}'))
-    with ocp.StandardCheckpointer() as ckptr:
-        payload = ckptr.restore(path, template) if template is not None \
-            else ckptr.restore(path)
+    import logging as _logging
+
+    class _NoTemplateFilter(_logging.Filter):
+        # template-less restore is the supported path for CLI loads (the
+        # saved tree is the source of truth); drop orbax's UNSAFE warning
+        def filter(self, record):
+            return 'target tree to be provided' not in record.getMessage()
+
+    flt = _NoTemplateFilter()
+    _logging.getLogger('absl').addFilter(flt)
+    try:
+        with ocp.StandardCheckpointer() as ckptr:
+            payload = ckptr.restore(path, template) if template is not None \
+                else ckptr.restore(path)
+    finally:
+        _logging.getLogger('absl').removeFilter(flt)
     meta_path = os.path.join(ckpt_dir, f'step_{step}.json')
     meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {'step': step}
     return {'payload': payload, 'meta': meta, 'step': step}
