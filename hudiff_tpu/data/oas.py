@@ -309,3 +309,52 @@ def batch_iterator(dataset, split_ids: np.ndarray, batch_size: int,
         for s in range(0, stop, batch_size):
             chunk = ids[s:s + batch_size]
             yield collate([dataset[i] for i in chunk])
+
+
+# ---------------------------------------------------------------------------
+# Dataset prebuild CLI (the reference builds its LMDBs implicitly on first
+# dataset use, oas_pair_dataset_new.py:149-151; this makes that step explicit)
+# ---------------------------------------------------------------------------
+
+def main(argv=None):
+    """Pre-build record stores: ``pair`` from an OAS download directory
+    (raw_path/new_cgz_data/*.csv.gz), ``heavy``/``vhh`` from a pickled list,
+    ``vhh-from-csv`` from a raw sequence CSV via the numbering layer."""
+    import argparse
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser(description=main.__doc__)
+    sub = p.add_subparsers(dest='cmd', required=True)
+
+    q = sub.add_parser('pair', help='paired H/L store from OAS csv.gz dir')
+    q.add_argument('--raw-path', required=True)
+    q.add_argument('--mouse', action='store_true')
+    q.add_argument('--version', default='tmp')
+
+    q = sub.add_parser('heavy', help='unpaired heavy store from pickle')
+    q.add_argument('--data', required=True)
+    q = sub.add_parser('vhh', help='VHH store from pickle')
+    q.add_argument('--data', required=True)
+
+    q = sub.add_parser('vhh-from-csv',
+                       help='VHH pickle + store from a raw sequence CSV')
+    q.add_argument('--csv', required=True)
+    q.add_argument('--out', required=True)
+    q.add_argument('--seq-column', default=None)
+
+    args = p.parse_args(argv)
+    if args.cmd == 'pair':
+        ds = OasPairDataset(args.raw_path, mouse=args.mouse,
+                            version=args.version)
+    elif args.cmd in ('heavy', 'vhh'):
+        ds = OasUnpairDataset(args.data, chaintype=args.cmd)
+    else:
+        pkl = build_vhh_dataset_from_csv(args.csv, args.out,
+                                         seq_column=args.seq_column)
+        ds = OasUnpairDataset(pkl, chaintype='vhh')
+    print(f'store ready: {ds.store_path} ({len(ds)} records; '
+          f'train={len(ds.splits["train"])}, val={len(ds.splits["val"])})')
+    return ds.store_path
+
+
+if __name__ == '__main__':
+    main()
