@@ -22,7 +22,7 @@ import numpy as np
 
 from .. import constants as C
 from ..ops.bytenet import ByteNetStack
-from ..ops.rope import apply_rope, rope_tables
+from ..ops.rope import rope_tables
 from .embedders import PosEmbedder, RegionEmbedder, SideEmbedder
 
 
@@ -91,22 +91,21 @@ class RoPEAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from ..ops.pallas_attention import attention as fused_attn
+        from ..ops.pallas_attention import rope_attention
         B, L, _ = x.shape
         head_dim = self.att_model // self.nhead
         dense = lambda name: nn.Dense(self.att_model, dtype=self.dtype,
                                       param_dtype=jnp.float32, name=name)
-        q = dense('query')(x).reshape(B, L, self.nhead, head_dim)
-        k = dense('key')(x).reshape(B, L, self.nhead, head_dim)
-        v = dense('value')(x).reshape(B, L, self.nhead, head_dim)
+        # QKV stay in their natural [B, L, H*D] layout: the fused kernel
+        # applies RoPE per head in VMEM and needs no transposes.
+        q = dense('query')(x)
+        k = dense('key')(x)
+        v = dense('value')(x)
 
         cos, sin = rope_tables(head_dim, self.length)
-        q = apply_rope(q, cos[:L], sin[:L])
-        k = apply_rope(k, cos[:L], sin[:L])
-
         scale = 1.0 / float(np.sqrt(head_dim))
-        out = fused_attn(q, k, v, scale, use_pallas=self.use_pallas)
-        out = out.reshape(B, L, self.att_model)
+        out = rope_attention(q, k, v, cos[:L], sin[:L], scale, self.nhead,
+                             use_pallas=self.use_pallas)
         return nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
                         name='out')(out)
 

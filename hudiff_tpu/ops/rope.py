@@ -1,11 +1,18 @@
 """Rotary position embeddings (real-valued formulation).
 
-The reference implements RoPE with complex64 arithmetic
-(model/encoder/cross_attention.py:35-88). Complex math maps poorly onto the
-TPU VPU, so we use the equivalent paired-rotation form over (even, odd)
-feature pairs: for each pair (a, b) at position t with frequency f,
-``(a', b') = (a cos(tf) - b sin(tf), a sin(tf) + b cos(tf))`` — exactly the
-complex product ``(a + ib) * e^{itf}``.
+The reference implements RoPE with complex64 arithmetic over interleaved
+(even, odd) feature pairs (model/encoder/cross_attention.py:35-88). Complex
+math maps poorly onto the TPU VPU, and interleaved pairs force lane-strided
+access; we use the equivalent **rotate-half** layout — pairs are
+``(x[i], x[D/2+i])`` — so both halves are contiguous lane slices:
+``(a', b') = (a cos(tf) - b sin(tf), a sin(tf) + b cos(tf))``, the complex
+product ``(a + ib) * e^{itf}``.
+
+Attention scores are invariant to any fixed permutation of (q, k) feature
+pairs applied consistently, so the layout change is semantics-preserving;
+the torch checkpoint converter permutes query/key projection columns from
+the reference's interleaved order into rotate-half order
+(training/checkpoints.py::_rope_permute).
 """
 from __future__ import annotations
 
@@ -25,18 +32,17 @@ def rope_tables(head_dim: int, length: int, theta: float = 10000.0):
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
     """Rotate feature pairs of ``x`` [..., L, H, D] by position.
 
-    ``cos``/``sin`` are [L, D//2]; adjacent feature pairs (2i, 2i+1) form the
-    (real, imag) components, matching torch.view_as_complex semantics on the
-    reference's reshape(..., -1, 2).
+    ``cos``/``sin`` are [L, D//2]; rotate-half layout — pair i is
+    ``(x[..., i], x[..., D/2 + i])``. Equivalent to the reference's
+    interleaved complex form under the converter's column permutation.
     """
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
-    a = xf[..., 0::2]
-    b = xf[..., 1::2]
+    d2 = x.shape[-1] // 2
+    a = xf[..., :d2]
+    b = xf[..., d2:]
     # Broadcast [L, D/2] over leading batch and the head axis: [L, 1, D/2].
     c = cos[:, None, :]
     s = sin[:, None, :]
-    ra = a * c - b * s
-    rb = a * s + b * c
-    out = jnp.stack([ra, rb], axis=-1).reshape(x.shape)
+    out = jnp.concatenate([a * c - b * s, a * s + b * c], axis=-1)
     return out.astype(orig_dtype)

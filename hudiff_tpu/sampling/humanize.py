@@ -204,7 +204,8 @@ def load_denoiser(ckpt_path: str, kind: str, use_bf16: bool = True):
             finetuned = True
         else:
             finetuned = 'pretrain_config' in payload
-        variables = CKPT.convert_torch_denoiser(state_dict, pair=(kind == 'pair'))
+        variables = CKPT.convert_torch_denoiser(state_dict, pair=(kind == 'pair'),
+                                                nhead=model_cfg.nhead)
     else:
         restored = CKPT.restore(ckpt_path)
         meta_cfg = restored['meta'].get('config', {})

@@ -90,10 +90,13 @@ def _strip_module_prefix(state_dict: dict) -> dict:
             for k, v in state_dict.items()}
 
 
-def convert_torch_denoiser(state_dict: dict, pair: bool = True) -> dict:
+def convert_torch_denoiser(state_dict: dict, pair: bool = True,
+                           nhead: int = 8) -> dict:
     """Map a reference AntiTFNet/NanoAntiTFNet torch state_dict onto this
     framework's Flax param tree (same architecture family; see
-    models/denoiser.py for the layer correspondence)."""
+    models/denoiser.py for the layer correspondence). ``nhead`` is needed to
+    permute query/key columns into the rotate-half RoPE layout (both
+    reference configs use nhead=8, configs/antibody_train.yml:22)."""
     sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, 'detach') else v)
           for k, v in _strip_module_prefix(state_dict).items()}
 
@@ -110,6 +113,22 @@ def convert_torch_denoiser(state_dict: dict, pair: bool = True) -> dict:
         put(dst + '/kernel', sd[src + '.weight'].T)
         if src + '.bias' in sd:
             put(dst + '/bias', sd[src + '.bias'])
+
+    def _rope_permute(cols: int) -> np.ndarray:
+        """Column permutation mapping the reference's interleaved RoPE pairs
+        (2i, 2i+1) onto this framework's rotate-half layout (i, D/2+i),
+        per head (ops/rope.py). Scores are invariant to a consistent (q, k)
+        pair permutation, so this preserves the model exactly."""
+        d = cols // nhead
+        per_head = np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
+        return np.concatenate([h * d + per_head for h in range(nhead)])
+
+    def rope_dense(dst: str, src: str):
+        w = sd[src + '.weight'].T                    # [in, out]
+        perm = _rope_permute(w.shape[1])
+        put(dst + '/kernel', w[:, perm])
+        if src + '.bias' in sd:
+            put(dst + '/bias', sd[src + '.bias'][perm])
 
     def layernorm(dst: str, src: str):
         put(dst + '/scale', sd[src + '.weight'])
@@ -140,8 +159,8 @@ def convert_torch_denoiser(state_dict: dict, pair: bool = True) -> dict:
             put(dst + '/bias', sd[bias_key])
 
     def att_layer(dst: str, src: str):
-        dense(dst + '/query', src + '.query')
-        dense(dst + '/key', src + '.key')
+        rope_dense(dst + '/query', src + '.query')
+        rope_dense(dst + '/key', src + '.key')
         dense(dst + '/value', src + '.value')
         dense(dst + '/out', src + '.out_put')
 

@@ -28,3 +28,79 @@ def test_pallas_bf16():
     out = attention(q, k, v, scale, use_pallas='always')
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32), atol=3e-2)
+
+
+def test_rope_attention_fused_matches_xla():
+    from hudiff_tpu.ops.pallas_attention import rope_attention
+    from hudiff_tpu.ops.rope import rope_tables
+    rng = jax.random.PRNGKey(5)
+    B, L, H, D = 2, 37, 4, 16
+    q = jax.random.normal(rng, (B, L, H * D))
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (B, L, H * D))
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (B, L, H * D))
+    cos, sin = rope_tables(D, L)
+    scale = 1.0 / np.sqrt(D)
+    ref = rope_attention(q, k, v, cos, sin, scale, H, use_pallas='never')
+    out = rope_attention(q, k, v, cos, sin, scale, H, use_pallas='always')
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_rope_attention_fused_grads():
+    """The custom VJP (Pallas backward kernel) must match XLA autodiff."""
+    from hudiff_tpu.ops.pallas_attention import rope_attention
+    from hudiff_tpu.ops.rope import rope_tables
+    rng = jax.random.PRNGKey(7)
+    B, L, H, D = 2, 19, 2, 8
+    q = jax.random.normal(rng, (B, L, H * D))
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (B, L, H * D))
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (B, L, H * D))
+    w = jax.random.normal(jax.random.fold_in(rng, 3), (B, L, H * D))
+    cos, sin = rope_tables(D, L)
+    scale = 1.0 / np.sqrt(D)
+
+    def loss(mode):
+        def f(q, k, v):
+            o = rope_attention(q, k, v, cos, sin, scale, H, use_pallas=mode)
+            return jnp.sum(o * w)  # non-trivial cotangent
+        return f
+
+    g_ref = jax.grad(loss('never'), argnums=(0, 1, 2))(q, k, v)
+    g_out = jax.grad(loss('always'), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_out, g_ref, 'qkv'):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5,
+                                   err_msg=f'd{name} mismatch')
+
+
+def test_rope_permute_preserves_scores():
+    """Interleaved->rotate-half column permutation of q/k projections must
+    leave attention output unchanged (checkpoint converter invariant)."""
+    from hudiff_tpu.ops.rope import rope_tables
+
+    H, D, L = 2, 8, 11
+    rng = jax.random.PRNGKey(9)
+    x = jax.random.normal(rng, (1, L, H * D))
+    wq = jax.random.normal(jax.random.fold_in(rng, 1), (H * D, H * D))
+    wk = jax.random.normal(jax.random.fold_in(rng, 2), (H * D, H * D))
+    cos, sin = rope_tables(D, L)
+
+    # reference semantics: interleaved pairs
+    def rope_interleaved(t):
+        tf = t.reshape(1, L, H, D)
+        a, b = tf[..., 0::2], tf[..., 1::2]
+        c, s = cos[:, None, :], sin[:, None, :]
+        return jnp.stack([a * c - b * s, a * s + b * c],
+                         axis=-1).reshape(1, L, H, D)
+
+    def rope_half(t):
+        from hudiff_tpu.ops.rope import apply_rope
+        return apply_rope(t.reshape(1, L, H, D), cos, sin)
+
+    def scores(qh, kh):
+        return jnp.einsum('blhd,bmhd->bhlm', qh, kh)
+
+    s_ref = scores(rope_interleaved(x @ wq), rope_interleaved(x @ wk))
+
+    per_head = np.concatenate([np.arange(0, D, 2), np.arange(1, D, 2)])
+    perm = np.concatenate([h * D + per_head for h in range(H)])
+    s_new = scores(rope_half((x @ wq[:, perm])), rope_half((x @ wk[:, perm])))
+    np.testing.assert_allclose(np.asarray(s_new), np.asarray(s_ref), atol=1e-4)
