@@ -14,6 +14,7 @@ lax.scan program over it.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
+import os
 import time
 
 import numpy as np
@@ -30,11 +31,12 @@ def main():
     cfg = DenoiserConfig()  # full-size flagship
     model = AntiTFNet(cfg, dtype=jnp.bfloat16)
 
-    # Candidate batch: the free throughput axis. Measured on v5e:
-    # B=128: 8.4, B=256: 12.0, B=512: 11.3 seqs/sec -> 256 is the sweet spot
-    # (with the fused Pallas attention; the XLA path peaks at 8.2 and OOMs
-    # at B=512 on the materialized attention probs).
-    B = 256
+    # Candidate batch: the free throughput axis. Measured on v5e with the
+    # merged-QKV in-kernel-RoPE attention: B=256: 24.0, B=384: 23.6,
+    # B=512: 23.2 seqs/sec -> 256 is the sweet spot and throughput is
+    # batch-saturated. (The XLA attention path peaks at 8.2 and OOMs at
+    # B=512 on the materialized [B,H,L,L] probs.)
+    B = int(os.environ.get('HUDIFF_BENCH_B', 256))
     region_row = np.concatenate([C.HEAVY_REGION_INDEX, C.LIGHT_REGION_INDEX])
     region = jnp.asarray(np.broadcast_to(region_row, (B, C.PAIR_LEN)).copy())
     chain = jnp.asarray(np.tile([[0, 2]], (B, 1)))

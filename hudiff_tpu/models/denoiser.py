@@ -91,21 +91,20 @@ class RoPEAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from ..ops.pallas_attention import rope_attention
+        from ..ops.pallas_attention import rope_attention_qkv
         B, L, _ = x.shape
         head_dim = self.att_model // self.nhead
-        dense = lambda name: nn.Dense(self.att_model, dtype=self.dtype,
-                                      param_dtype=jnp.float32, name=name)
-        # QKV stay in their natural [B, L, H*D] layout: the fused kernel
-        # applies RoPE per head in VMEM and needs no transposes.
-        q = dense('query')(x)
-        k = dense('key')(x)
-        v = dense('value')(x)
+        # One merged QKV matmul (the reference's three projections are
+        # concatenated by the checkpoint converter), passed to the kernel
+        # as a single buffer: no split copies at the custom-call boundary,
+        # per-head slicing + RoPE happen in VMEM.
+        qkv = nn.Dense(3 * self.att_model, dtype=self.dtype,
+                       param_dtype=jnp.float32, name='qkv')(x)
 
         cos, sin = rope_tables(head_dim, self.length)
         scale = 1.0 / float(np.sqrt(head_dim))
-        out = rope_attention(q, k, v, cos[:L], sin[:L], scale, self.nhead,
-                             use_pallas=self.use_pallas)
+        out = rope_attention_qkv(qkv, cos[:L], sin[:L], scale, self.nhead,
+                                 use_pallas=self.use_pallas)
         return nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
                         name='out')(out)
 

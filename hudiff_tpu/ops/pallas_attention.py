@@ -153,6 +153,134 @@ _rope_attention_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Merged-QKV kernels: one [1, L, 3*H*D] block, sliced per head in VMEM.
+# Avoids the three HBM copies jnp.split would force at the custom-call
+# boundary when the QKV projection is a single matmul.
+# ---------------------------------------------------------------------------
+
+def _rope_fwd_kernel_qkv(qkv_ref, cos_ref, sin_ref, o_ref, *,
+                         scale: float, heads: int, head_dim: int):
+    c = cos_ref[...]
+    s = sin_ref[...]
+    A = heads * head_dim
+    for h in range(heads):
+        q = _rot(qkv_ref[0, :, h * head_dim:(h + 1) * head_dim]
+                 .astype(jnp.float32), c, s)
+        k = _rot(qkv_ref[0, :, A + h * head_dim:A + (h + 1) * head_dim]
+                 .astype(jnp.float32), c, s)
+        v = qkv_ref[0, :, 2 * A + h * head_dim:2 * A + (h + 1) * head_dim]
+        st = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(st, axis=-1)
+        o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, :, h * head_dim:(h + 1) * head_dim] = o.astype(o_ref.dtype)
+
+
+def _rope_bwd_kernel_qkv(qkv_ref, cos_ref, sin_ref, do_ref, dqkv_ref, *,
+                         scale: float, heads: int, head_dim: int):
+    c = cos_ref[...]
+    s = sin_ref[...]
+    A = heads * head_dim
+    for h in range(heads):
+        q = _rot(qkv_ref[0, :, h * head_dim:(h + 1) * head_dim]
+                 .astype(jnp.float32), c, s)
+        k = _rot(qkv_ref[0, :, A + h * head_dim:A + (h + 1) * head_dim]
+                 .astype(jnp.float32), c, s)
+        v = qkv_ref[0, :, 2 * A + h * head_dim:2 * A + (h + 1) * head_dim] \
+            .astype(jnp.float32)
+        do = do_ref[0, :, h * head_dim:(h + 1) * head_dim].astype(jnp.float32)
+        st = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(st, axis=-1)
+        dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dqkv_ref[0, :, h * head_dim:(h + 1) * head_dim] = \
+            _rot_inv(dq, c, s).astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, A + h * head_dim:A + (h + 1) * head_dim] = \
+            _rot_inv(dk, c, s).astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * A + h * head_dim:2 * A + (h + 1) * head_dim] = \
+            dv.astype(dqkv_ref.dtype)
+
+
+def _pallas_fwd_qkv(qkv, cos, sin, scale, heads, interpret):
+    B, L, A3 = qkv.shape
+    head_dim = A3 // 3 // heads
+    kern = functools.partial(_rope_fwd_kernel_qkv, scale=scale, heads=heads,
+                             head_dim=head_dim)
+    blk_in = pl.BlockSpec((1, L, A3), lambda b: (b, 0, 0))
+    blk_out = pl.BlockSpec((1, L, A3 // 3), lambda b: (b, 0, 0))
+    tbl = pl.BlockSpec((L, head_dim // 2), lambda b: (0, 0))
+    return pl.pallas_call(
+        kern, grid=(B,), in_specs=[blk_in, tbl, tbl], out_specs=blk_out,
+        out_shape=jax.ShapeDtypeStruct((B, L, A3 // 3), qkv.dtype),
+        interpret=interpret,
+    )(qkv, cos, sin)
+
+
+def _pallas_bwd_qkv(qkv, cos, sin, do, scale, heads, interpret):
+    B, L, A3 = qkv.shape
+    head_dim = A3 // 3 // heads
+    kern = functools.partial(_rope_bwd_kernel_qkv, scale=scale, heads=heads,
+                             head_dim=head_dim)
+    blk_in = pl.BlockSpec((1, L, A3), lambda b: (b, 0, 0))
+    blk_do = pl.BlockSpec((1, L, A3 // 3), lambda b: (b, 0, 0))
+    tbl = pl.BlockSpec((L, head_dim // 2), lambda b: (0, 0))
+    return pl.pallas_call(
+        kern, grid=(B,), in_specs=[blk_in, tbl, tbl, blk_do],
+        out_specs=blk_in,
+        out_shape=jax.ShapeDtypeStruct((B, L, A3), qkv.dtype),
+        interpret=interpret,
+    )(qkv, cos, sin, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _rope_attention_fused_qkv(qkv, cos, sin, scale, heads, interpret):
+    return _pallas_fwd_qkv(qkv, cos, sin, scale, heads, interpret)
+
+
+def _fused_qkv_fwd(qkv, cos, sin, scale, heads, interpret):
+    return _pallas_fwd_qkv(qkv, cos, sin, scale, heads, interpret), \
+        (qkv, cos, sin)
+
+
+def _fused_qkv_bwd(scale, heads, interpret, res, do):
+    qkv, cos, sin = res
+    dqkv = _pallas_bwd_qkv(qkv, cos, sin, do.astype(qkv.dtype),
+                           scale, heads, interpret)
+    return dqkv, None, None
+
+
+_rope_attention_fused_qkv.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
+
+
+def rope_attention_qkv(qkv: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+                       scale: float, heads: int,
+                       use_pallas: str = 'auto') -> jnp.ndarray:
+    """Fused RoPE attention on a merged QKV projection.
+
+    qkv: [B, L, 3*heads*head_dim] (one matmul's output, q|k|v concatenated);
+    returns [B, L, heads*head_dim]. See ``rope_attention``.
+    """
+    B, L, A3 = qkv.shape
+    on_tpu = jax.default_backend() == 'tpu'
+    if use_pallas == 'never' or (use_pallas == 'auto' and not on_tpu):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        return rope_attention(q, k, v, cos, sin, scale, heads,
+                              use_pallas='never')
+    return _rope_attention_fused_qkv(qkv, cos.astype(jnp.float32),
+                                     sin.astype(jnp.float32), float(scale),
+                                     heads, not on_tpu)
+
+
+# ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
 

@@ -123,12 +123,21 @@ def convert_torch_denoiser(state_dict: dict, pair: bool = True,
         per_head = np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
         return np.concatenate([h * d + per_head for h in range(nhead)])
 
-    def rope_dense(dst: str, src: str):
-        w = sd[src + '.weight'].T                    # [in, out]
-        perm = _rope_permute(w.shape[1])
-        put(dst + '/kernel', w[:, perm])
-        if src + '.bias' in sd:
-            put(dst + '/bias', sd[src + '.bias'][perm])
+    def qkv_dense(dst: str, src: str):
+        """Concatenate the reference's query/key/value projections into the
+        merged qkv Dense, permuting q/k columns into rotate-half order."""
+        ws, bs = [], []
+        for part, permute in (('query', True), ('key', True), ('value', False)):
+            w = sd[f'{src}.{part}.weight'].T         # [in, out]
+            b = sd.get(f'{src}.{part}.bias')
+            if permute:
+                perm = _rope_permute(w.shape[1])
+                w = w[:, perm]
+                b = None if b is None else b[perm]
+            ws.append(w)
+            bs.append(b if b is not None else np.zeros(w.shape[1], w.dtype))
+        put(dst + '/kernel', np.concatenate(ws, axis=1))
+        put(dst + '/bias', np.concatenate(bs))
 
     def layernorm(dst: str, src: str):
         put(dst + '/scale', sd[src + '.weight'])
@@ -159,9 +168,7 @@ def convert_torch_denoiser(state_dict: dict, pair: bool = True,
             put(dst + '/bias', sd[bias_key])
 
     def att_layer(dst: str, src: str):
-        rope_dense(dst + '/query', src + '.query')
-        rope_dense(dst + '/key', src + '.key')
-        dense(dst + '/value', src + '.value')
+        qkv_dense(dst + '/qkv', src)
         dense(dst + '/out', src + '.out_put')
 
     def self_att(dst: str, src: str, n_layers: int):

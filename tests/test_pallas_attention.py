@@ -104,3 +104,36 @@ def test_rope_permute_preserves_scores():
     perm = np.concatenate([h * D + per_head for h in range(H)])
     s_new = scores(rope_half((x @ wq[:, perm])), rope_half((x @ wk[:, perm])))
     np.testing.assert_allclose(np.asarray(s_new), np.asarray(s_ref), atol=1e-4)
+
+
+def test_rope_attention_qkv_matches_split():
+    from hudiff_tpu.ops.pallas_attention import rope_attention, rope_attention_qkv
+    from hudiff_tpu.ops.rope import rope_tables
+    rng = jax.random.PRNGKey(11)
+    B, L, H, D = 2, 23, 4, 16
+    qkv = jax.random.normal(rng, (B, L, 3 * H * D))
+    cos, sin = rope_tables(D, L)
+    scale = 1.0 / np.sqrt(D)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    ref = rope_attention(q, k, v, cos, sin, scale, H, use_pallas='never')
+    out = rope_attention_qkv(qkv, cos, sin, scale, H, use_pallas='always')
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_rope_attention_qkv_grads():
+    from hudiff_tpu.ops.pallas_attention import rope_attention_qkv
+    from hudiff_tpu.ops.rope import rope_tables
+    rng = jax.random.PRNGKey(13)
+    B, L, H, D = 2, 17, 2, 8
+    qkv = jax.random.normal(rng, (B, L, 3 * H * D))
+    w = jax.random.normal(jax.random.fold_in(rng, 1), (B, L, H * D))
+    cos, sin = rope_tables(D, L)
+    scale = 1.0 / np.sqrt(D)
+
+    def loss(mode):
+        return lambda t: jnp.sum(
+            rope_attention_qkv(t, cos, sin, scale, H, use_pallas=mode) * w)
+
+    g_ref = jax.grad(loss('never'))(qkv)
+    g_out = jax.grad(loss('always'))(qkv)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref), atol=3e-5)
