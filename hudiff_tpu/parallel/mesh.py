@@ -32,8 +32,11 @@ def make_mesh(devices: Optional[Sequence] = None, model_axis: int = 1) -> Mesh:
 # Parameter-path regexes -> PartitionSpec over the ('data', 'model') mesh.
 # Matched against '/'.join(path) of the flax param tree.
 _TP_RULES = (
-    # attention projections: [d_model, att_model] sharded over heads
-    (re.compile(r'attn(_c)?/(query|key|value)/kernel$'), P(None, 'model')),
+    # merged QKV projection: [d_model, 3*att_model] column-sharded (GSPMD
+    # keeps logical q|k|v semantics; on TPU the fused kernel gathers its
+    # operand, on the XLA fallback the split shards cleanly)
+    (re.compile(r'attn(_c)?/qkv/kernel$'), P(None, 'model')),
+    (re.compile(r'attn(_c)?/qkv/bias$'), P('model')),
     (re.compile(r'attn(_c)?/out/kernel$'), P('model', None)),
     # attention-block FFN: Dense_0 expands, Dense_1 contracts
     (re.compile(r'block_\d+/Dense_0/kernel$'), P(None, 'model')),

@@ -223,13 +223,21 @@ def load_denoiser(ckpt_path: str, kind: str, use_bf16: bool = True):
 # Batched humanization
 # ---------------------------------------------------------------------------
 
+def _maybe_mesh(shard: bool):
+    """('data', 'model'=1) mesh over all devices when sharding is requested
+    and more than one device exists; sharding never changes sampled tokens."""
+    if not shard or jax.device_count() <= 1:
+        return None
+    from ..parallel.mesh import make_mesh
+    return make_mesh(model_axis=1)
+
 class PairHumanizer:
     def __init__(self, model, variables, batch_size: int = 16,
-                 shuffle: bool = True, seed: int = 2023):
+                 shuffle: bool = True, seed: int = 2023, mesh=None):
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = jax.random.PRNGKey(seed)
-        self.run = S.make_jit_sampler(model, variables)
+        self.run = S.make_jit_sampler(model, variables, mesh=mesh)
 
     def __call__(self, h_seq: str, l_seq: str, finetune: bool = False,
                  inpaint: bool = False) -> Optional[Dict[str, object]]:
@@ -254,11 +262,12 @@ class PairHumanizer:
 
 class NanoHumanizer:
     def __init__(self, model, variables, batch_size: int = 16,
-                 shuffle: bool = True, seed: int = 2023):
+                 shuffle: bool = True, seed: int = 2023, mesh=None):
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = jax.random.PRNGKey(seed)
-        self.run = S.make_jit_sampler(model, variables, has_chain_type=False)
+        self.run = S.make_jit_sampler(model, variables, has_chain_type=False,
+                                      mesh=mesh)
 
     def __call__(self, vhh_seq: str, finetune: bool = False,
                  inpaint: bool = False, max_retry: int = 3
@@ -307,7 +316,7 @@ def run_ab(args) -> str:
 
     hum = PairHumanizer(model, variables, batch_size=args.batch_size,
                         shuffle=(args.sample_order == 'shuffle'),
-                        seed=args.seed)
+                        seed=args.seed, mesh=_maybe_mesh(args.shard))
 
     if args.fasta:
         # single-antibody humanization from a (complex) FASTA
@@ -361,7 +370,7 @@ def run_nano(args) -> str:
 
     hum = NanoHumanizer(model, variables, batch_size=args.batch_size,
                         shuffle=(args.sample_order == 'shuffle'),
-                        seed=args.seed)
+                        seed=args.seed, mesh=_maybe_mesh(args.shard))
 
     if args.fasta:
         # first heavy-type record of a FASTA
@@ -415,6 +424,10 @@ def main(argv=None):
                        action='store_false')
         q.add_argument('--logdir', default='./logs')
         q.add_argument('--fp32', action='store_true')
+        q.add_argument('--shard', action='store_true',
+                       help='shard the candidate batch over all devices '
+                            '(data-parallel sampling; identical results, '
+                            'N-chip throughput)')
         q.add_argument('--fasta', default=None,
                        help='humanize the chain pair / nanobody in this FASTA')
         if name == 'ab':

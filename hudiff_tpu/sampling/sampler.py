@@ -71,7 +71,7 @@ def make_scan_sampler(apply_fn: Callable[..., jnp.ndarray], top: int = SAMPLE_TO
 
 
 def make_jit_sampler(model, params, top: int = SAMPLE_TOP,
-                     has_chain_type: bool = True):
+                     has_chain_type: bool = True, mesh=None):
     """Convenience: jitted end-to-end sampler for a denoiser model.
 
     Returns ``fn(tokens, region, chain_type, order, rng) -> tokens`` (chain
@@ -81,6 +81,11 @@ def make_jit_sampler(model, params, top: int = SAMPLE_TOP,
     here instead of being re-cast from float32 inside every scan step —
     halving the per-step HBM weight traffic (the dominant cost at small
     sequence lengths).
+
+    With ``mesh`` (a ('data', 'model') ``jax.sharding.Mesh``), the candidate
+    batch is sharded over the 'data' axis and parameters are replicated, so
+    one humanization round scales across chips — sharding never changes the
+    sampled tokens, only where they're computed.
     """
     if getattr(model, 'dtype', jnp.float32) == jnp.bfloat16:
         def cast(x):
@@ -88,13 +93,24 @@ def make_jit_sampler(model, params, top: int = SAMPLE_TOP,
                 return x.astype(jnp.bfloat16)
             return x
         params = jax.tree_util.tree_map(cast, params)
+
+    jit_kwargs = {}
+    if mesh is not None and mesh.size > 1:
+        from ..parallel import mesh as M
+        params = jax.device_put(params, M.replicated(mesh))
+        bsh = M.batch_sharding(mesh)
+        rep = M.replicated(mesh)
+        n_in = 4 if has_chain_type else 3
+        jit_kwargs = dict(in_shardings=tuple([bsh] * n_in + [rep]),
+                          out_shardings=bsh)
+
     if has_chain_type:
         def apply_fn(tokens, region, chain):
             return model.apply(params, tokens, region, chain)
 
         sampler = make_scan_sampler(apply_fn, top=top)
 
-        @jax.jit
+        @functools.partial(jax.jit, **jit_kwargs)
         def run(tokens, region, chain, order, rng):
             return sampler(tokens, order, rng, region, chain)
     else:
@@ -103,7 +119,7 @@ def make_jit_sampler(model, params, top: int = SAMPLE_TOP,
 
         sampler = make_scan_sampler(apply_fn, top=top)
 
-        @jax.jit
+        @functools.partial(jax.jit, **jit_kwargs)
         def run(tokens, region, order, rng):
             return sampler(tokens, order, rng, region)
 

@@ -22,6 +22,12 @@ def save(ckpt_dir: str, step: int, params, opt_state=None,
     payload = {'params': params}
     if opt_state is not None:
         payload['opt_state'] = opt_state
+    # Materialize to host numpy: jax arrays carry device-topology metadata
+    # that makes the checkpoint unrestorable on a different device count
+    # (e.g. trained on an 8-chip mesh, sampled on 1 chip). At HuDiff scale
+    # (<50M params) a host copy is cheap; multi-host sharded saves would
+    # instead pass a template at restore.
+    payload = jax.device_get(payload)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, payload, force=True)
     meta = {'step': step, 'config': config or {}, **(extra or {})}

@@ -85,3 +85,34 @@ def test_build_order_per_candidate_shuffles():
     for b in range(4):
         assert sorted(order[b]) == list(range(20))
     assert not (order[0] == order[1]).all()
+
+
+def test_sharded_sampler_matches_unsharded():
+    """Data-parallel sampling over an 8-device mesh must produce the exact
+    same tokens as single-device (sharding is layout, not semantics)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from hudiff_tpu import constants as C
+    from hudiff_tpu.models.denoiser import NanoAntiTFNet, nano_config
+    from hudiff_tpu.parallel.mesh import make_mesh
+    from hudiff_tpu.sampling import sampler as S
+
+    cfg = nano_config().test_size()
+    model = NanoAntiTFNet(cfg)
+    B, L = 8, C.HEAVY_LEN
+    tokens = jnp.full((B, L), C.IDX_MSK, jnp.int32)
+    region = jnp.zeros((B, L), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), tokens[:1], region[:1])
+    order = S.build_order(np.arange(0, 40), B, rng=jax.random.PRNGKey(1))
+    rng = jax.random.PRNGKey(2)
+
+    run1 = S.make_jit_sampler(model, params, has_chain_type=False)
+    out1 = np.asarray(run1(tokens, region, order, rng))
+
+    mesh = make_mesh(model_axis=1)
+    assert mesh.shape['data'] == 8
+    runN = S.make_jit_sampler(model, params, has_chain_type=False, mesh=mesh)
+    outN = np.asarray(runN(tokens, region, order, rng))
+
+    np.testing.assert_array_equal(out1, outN)
