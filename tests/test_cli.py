@@ -72,3 +72,35 @@ def test_finetune_then_humanize(pretrain_ckpt, tmp_path):
     assert csvs
     rows = _read_rows(csvs[0])
     assert any(r.startswith('humanization,') for r in rows)
+
+
+def test_ab_finetune_then_humanize(tmp_path):
+    """Antibody fine-tune CLI (3 random-init AbNatiV scorers) then humanize
+    from the finetune checkpoint."""
+    pt_logs = str(tmp_path / 'ab_pt')
+    PT_CLI.main(['--config', os.path.join(REPO, 'configs/antibody_test.yml'),
+                 '--synthetic', '32', '--max-iter', '2', '--valid-step', '2',
+                 '--logdir', pt_logs])
+    pt_ckpt = _latest_ckpt_dir(pt_logs)
+
+    ft_logs = str(tmp_path / 'ab_ft')
+    FT_CLI.main(['ab', '--config',
+                 os.path.join(REPO, 'configs/antibody_finetune.yml'),
+                 '--pretrain-ckpt', pt_ckpt, '--synthetic',
+                 '--max-iter', '2', '--valid-step', '2', '--batch-size', '4',
+                 '--logdir', ft_logs])
+    ft_ckpt = _latest_ckpt_dir(ft_logs)
+
+    out = str(tmp_path / 'ab_hum')
+    H.main(['ab', '--ckpt', ft_ckpt,
+            '--hseq', 'QVQLKQSGPGLVAPSQSLSITCTVSGFSLINYAISWVRQPPGKGLEWLGVIWT'
+                      'GGGTNYNSALKSRLSISKDNSKSQVFLKMNSLQTDDTARYYCARKDYYGRYYG'
+                      'MDYWGQGTSVTVS',
+            '--lseq', 'QAVVTQESALTTSPGETVTLTCRSSTGAVTTSNYANWVQEKPDHLFTGLIGGT'
+                      'NNRAPGVPARFSGSLIGDKAALTITGAQTEDEAIYFCALWYNNHWVFGGGTKL'
+                      'TVL',
+            '--batch-size', '2', '--sample-number', '1', '--logdir', out])
+    csvs = glob.glob(os.path.join(out, '*', 'sample_humanization_result.csv'))
+    assert csvs
+    rows = _read_rows(csvs[0])
+    assert any(r.startswith('humanization,') for r in rows)
