@@ -262,11 +262,8 @@ def run_nano(cfg: Namespace, args) -> str:
                                     cfg.finetune.batch_size, collate, seed=seed)
     vhh_it = pipeline.prefetch(vhh_it, 2)
 
-    plateau = schedules.ReduceOnPlateau(
-        init_lr=cfg.finetune.optimizer.lr,
-        factor=cfg.finetune.scheduler.get('factor', 0.6),
-        patience=cfg.finetune.scheduler.get('patience', 10),
-        min_lr=cfg.finetune.scheduler.get('min_lr', 1e-6))
+    plateau = schedules.make_host_scheduler(cfg.finetune.scheduler,
+                                            init_lr=cfg.finetune.optimizer.lr)
 
     ckpt_dir = os.path.join(log_dir, 'checkpoints')
     best = float('inf')
@@ -367,11 +364,8 @@ def run_ab(cfg: Namespace, args) -> str:
                                         seed=seed)
     it_batches = pipeline.prefetch(it_batches, 2)
 
-    plateau = schedules.ReduceOnPlateau(
-        init_lr=cfg.finetune.optimizer.lr,
-        factor=cfg.finetune.scheduler.get('factor', 0.6),
-        patience=cfg.finetune.scheduler.get('patience', 10),
-        min_lr=cfg.finetune.scheduler.get('min_lr', 1e-6))
+    plateau = schedules.make_host_scheduler(cfg.finetune.scheduler,
+                                            init_lr=cfg.finetune.optimizer.lr)
     ckpt_dir = os.path.join(log_dir, 'checkpoints')
     best = float('inf')
     max_iter = args.max_iter or cfg.finetune.max_iter

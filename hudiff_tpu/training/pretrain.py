@@ -122,12 +122,8 @@ def run(cfg: Namespace, kind: str, data_path: Optional[str], logdir: str,
                                   clip_norm=cfg.train.get('clip_norm'))
     state = T.TrainState.create(params, tx)
 
-    sched_cfg = cfg.train.scheduler
-    plateau = schedules.ReduceOnPlateau(
-        init_lr=cfg.train.optimizer.lr,
-        factor=sched_cfg.get('factor', 0.6),
-        patience=sched_cfg.get('patience', 10),
-        min_lr=sched_cfg.get('min_lr', 1e-6))
+    plateau = schedules.make_host_scheduler(cfg.train.scheduler,
+                                            init_lr=cfg.train.optimizer.lr)
 
     if resume:
         restored = checkpoints.restore(resume, template={

@@ -68,6 +68,52 @@ class ReduceOnPlateau:
         return self.lr
 
 
+@dataclasses.dataclass
+class CosineAnnealing:
+    """Host-side cosine annealing (reference scheduler_selected 'cosine' =
+    torch CosineAnnealingLR, utils/train_utils.py:75-97): lr follows
+    ``eta_min + (init - eta_min) * (1 + cos(pi * t / T_max)) / 2`` per
+    validation step. Same ``update(val_loss) -> lr`` protocol as
+    ReduceOnPlateau (the val loss is ignored)."""
+    init_lr: float
+    t_max: int = 100
+    eta_min: float = 0.0
+
+    def __post_init__(self):
+        self.lr = self.init_lr
+        self.epoch = 0
+
+    def update(self, val_loss: float) -> float:
+        import math
+        self.epoch += 1
+        t = min(self.epoch, self.t_max)
+        self.lr = self.eta_min + (self.init_lr - self.eta_min) * \
+            (1.0 + math.cos(math.pi * t / self.t_max)) / 2.0
+        return self.lr
+
+
+def make_host_scheduler(sched_cfg, init_lr: float):
+    """Factory over the host-side schedulers (reference scheduler_selected):
+    'plateau' (default) or 'cosine'. Both expose ``update(val_loss) -> lr``."""
+    kind = sched_cfg.get('type', 'plateau') if hasattr(sched_cfg, 'get') \
+        else getattr(sched_cfg, 'type', 'plateau')
+    get = (sched_cfg.get if hasattr(sched_cfg, 'get')
+           else lambda k, d=None: getattr(sched_cfg, k, d))
+    if kind == 'cosine':
+        return CosineAnnealing(init_lr=init_lr,
+                               t_max=int(get('T_max', get('t_max', 100))),
+                               eta_min=float(get('eta_min', 0.0)))
+    if kind in ('plateau', 'warmup_plateau'):
+        return ReduceOnPlateau(
+            init_lr=init_lr,
+            factor=get('factor', 0.6),
+            patience=get('patience', 10),
+            min_lr=get('min_lr', 1e-6),
+            warmup_multiplier=get('multiplier', 1.0),
+            warmup_epochs=get('total_epoch', 0))
+    raise ValueError(f'unknown scheduler: {kind}')
+
+
 def make_optimizer(opt_cfg, clip_norm: Optional[float] = None
                    ) -> optax.GradientTransformation:
     """Adam/AdamW with injected (host-mutable) learning rate

@@ -81,3 +81,24 @@ def test_empty_mask_is_safe():
     mask = jnp.zeros((2, 10), bool)
     out = losses.pair_oardm_loss(logits, targets, mask, mask)
     assert np.isfinite(float(out['ce']))
+
+
+def test_cosine_scheduler():
+    from hudiff_tpu.training.schedules import make_host_scheduler
+    import math
+
+    class Cfg(dict):
+        def get(self, k, d=None):
+            return super().get(k, d)
+
+    s = make_host_scheduler(Cfg(type='cosine', T_max=10, eta_min=0.1), 1.0)
+    lrs = [s.update(0.0) for _ in range(10)]
+    assert abs(lrs[-1] - 0.1) < 1e-9          # annealed to eta_min at T_max
+    expected5 = 0.1 + 0.9 * (1 + math.cos(math.pi * 5 / 10)) / 2
+    assert abs(lrs[4] - expected5) < 1e-9
+    assert all(a > b for a, b in zip(lrs, lrs[1:]))  # monotone decay
+
+    p = make_host_scheduler(Cfg(type='plateau', factor=0.5, patience=0,
+                                min_lr=0.01), 1.0)
+    p.update(1.0)
+    assert p.update(2.0) == 0.5               # worse loss -> immediate decay
