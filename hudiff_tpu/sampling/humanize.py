@@ -76,8 +76,11 @@ def pair_input(h_seq: str, l_seq: str, finetune: bool = False
     positions = np.nonzero(mask)[0].astype(np.int32)
     src = tokens.copy()
     src[mask] = C.IDX_MSK
+    # pad_to: static per-mode upper bound on masked slots, so the jitted
+    # scan sampler compiles ONCE per mode instead of per masked-count
     return {'tokens': src, 'clean': tokens, 'region': region, 'chain': chain,
-            'positions': positions, 'aho_h': h['aho'], 'aho_l': l['aho']}
+            'positions': positions, 'pad_to': int(np.count_nonzero(cdr == 0)),
+            'aho_h': h['aho'], 'aho_l': l['aho']}
 
 
 def pair_inpaint_input(h_seq: str, l_seq: str
@@ -97,7 +100,9 @@ def pair_inpaint_input(h_seq: str, l_seq: str
     try:
         h_par = GridChain(h_seq, True, 'H')
         l_group, _, _ = AL.detect_chain_type(l_seq)
-        l_par = GridChain(l_seq, False, l_group if l_group != 'H' else 'K')
+        if l_group == 'H':
+            l_group = 'K'  # same forced-kappa choice as pair_input
+        l_par = GridChain(l_seq, False, l_group)
     except ValueError:
         return None
 
@@ -116,9 +121,11 @@ def pair_inpaint_input(h_seq: str, l_seq: str
         ident_grid[occ_slots[:n]] = identity_aho[res_cols[:n]]
         return ident_grid
 
-    _, l_prof, _ = AL.detect_chain_type(l_seq)
+    # template profile must match the group the grid was aligned with —
+    # the raw detected profile can be 'H'/'VHH' for a mis-detected light
+    # chain, which would compare a kappa alignment to the heavy consensus
     identity = np.concatenate([template_identity(h_par, 'H'),
-                               template_identity(l_par, l_prof)])
+                               template_identity(l_par, l_group)])
 
     cdr = np.concatenate([C.HEAVY_CDR_INDEX, C.LIGHT_CDR_INDEX])
     # resample only framework slots NOT identical to the template
@@ -127,7 +134,8 @@ def pair_inpaint_input(h_seq: str, l_seq: str
     src = base['clean'].copy()
     src[mask] = C.IDX_MSK
     out = dict(base)
-    out.update({'tokens': src, 'positions': positions})
+    out.update({'tokens': src, 'positions': positions,
+                'pad_to': int(np.count_nonzero(cdr == 0))})
     return out
 
 
@@ -153,7 +161,8 @@ def nano_input(vhh_seq: str, finetune: bool = False, inpaint: bool = False
     src = tokens.copy()
     src[mask] = C.IDX_MSK
     return {'tokens': src, 'clean': tokens, 'region': region,
-            'positions': positions, 'aho': h['aho']}
+            'positions': positions, 'pad_to': int(np.count_nonzero(cdr == 0)),
+            'aho': h['aho']}
 
 
 # ---------------------------------------------------------------------------
@@ -251,7 +260,7 @@ class PairHumanizer:
         chain = jnp.asarray(np.tile(inp['chain'], (B, 1)))
         self.rng, r_ord, r_samp = jax.random.split(self.rng, 3)
         order = S.build_order(inp['positions'], B, rng=r_ord,
-                              shuffle=self.shuffle)
+                              shuffle=self.shuffle, pad_to=inp.get('pad_to'))
         out = np.asarray(self.run(tokens, region, chain, order, r_samp))
         h_seqs = [_TOK.idx2seq(row[: C.HEAVY_LEN]) for row in out]
         l_seqs = [_TOK.idx2seq(row[C.HEAVY_LEN:]) for row in out]
@@ -281,17 +290,21 @@ class NanoHumanizer:
         for _ in range(max_retry):
             self.rng, r_ord, r_samp = jax.random.split(self.rng, 3)
             order = S.build_order(inp['positions'], B, rng=r_ord,
-                                  shuffle=self.shuffle)
+                                  shuffle=self.shuffle,
+                                  pad_to=inp.get('pad_to'))
             out = np.asarray(self.run(tokens, region, order, r_samp))
             seqs = [_TOK.idx2seq(row) for row in out]
             # validity retry (reference nanosample.py:338-353): sequences must
-            # still align as heavy chains
-            valid = [s for s in seqs
-                     if AL.align_to_aho(s, 'H') is not None]
-            if valid:
-                best = select_most_similar(inp['clean'], out)
-                return {'seqs': seqs, 'grids': out, 'best_idx': best,
-                        'best': seqs[best]}
+            # still align as heavy chains; only valid candidates are returned
+            # (and the best-of-batch is picked among them)
+            valid_ix = [i for i, s in enumerate(seqs)
+                        if AL.align_to_aho(s, 'H') is not None]
+            if valid_ix:
+                grids = out[valid_ix]
+                vseqs = [seqs[i] for i in valid_ix]
+                best = select_most_similar(inp['clean'], grids)
+                return {'seqs': vseqs, 'grids': grids, 'best_idx': best,
+                        'best': vseqs[best]}
         return None
 
 
@@ -396,8 +409,12 @@ def run_nano(args) -> str:
             if args.similarity_search:
                 f.write(f'humanization,{name}human_sample,{res["best"]}\n')
             else:
+                written = 0
                 for s in dict.fromkeys(res['seqs']):
+                    if written >= args.sample_number:
+                        break
                     f.write(f'humanization,{name}human_sample,{s}\n')
+                    written += 1
         logger.info('humanized %s', name)
     logger.info('results: %s', save_fpath)
     return save_fpath

@@ -95,10 +95,9 @@ class CosineAnnealing:
 def make_host_scheduler(sched_cfg, init_lr: float):
     """Factory over the host-side schedulers (reference scheduler_selected):
     'plateau' (default) or 'cosine'. Both expose ``update(val_loss) -> lr``."""
-    kind = sched_cfg.get('type', 'plateau') if hasattr(sched_cfg, 'get') \
-        else getattr(sched_cfg, 'type', 'plateau')
-    get = (sched_cfg.get if hasattr(sched_cfg, 'get')
-           else lambda k, d=None: getattr(sched_cfg, k, d))
+    # config objects are Namespace (a dict subclass, utils/config.py)
+    kind = sched_cfg.get('type', 'plateau')
+    get = sched_cfg.get
     if kind == 'cosine':
         return CosineAnnealing(init_lr=init_lr,
                                t_max=int(get('T_max', get('t_max', 100))),
