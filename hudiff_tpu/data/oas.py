@@ -290,6 +290,18 @@ def heavy_batch(records: Sequence[dict], tokenizer: Optional[Tokenizer] = None,
     return out
 
 
+def n_batches_per_epoch(n_items: int, batch_size: int,
+                        drop_last: bool = True) -> int:
+    """Number of batches one epoch of ``batch_iterator`` yields for a split
+    of ``n_items`` (used to drive full-split validation passes)."""
+    if n_items <= 0:
+        raise ValueError('empty dataset split')
+    effective_drop_last = drop_last and n_items >= batch_size
+    if effective_drop_last:
+        return n_items // batch_size
+    return -(-n_items // batch_size)
+
+
 def batch_iterator(dataset, split_ids: np.ndarray, batch_size: int,
                    collate, seed: int = 0, drop_last: bool = True,
                    shuffle: bool = True) -> Iterable[Dict[str, np.ndarray]]:

@@ -34,7 +34,7 @@ class GatedMLP(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         x = nn.Dense(2 * self.d, dtype=self.dtype, param_dtype=jnp.float32)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU default (exact erf)
         x = nn.Dense(self.d, dtype=self.dtype, param_dtype=jnp.float32)(x)
         if self.dropout > 0.0:
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)

@@ -169,6 +169,51 @@ def align_to_aho(seq: str, chain_type: str = 'H') -> Optional[Tuple[str, float]]
     return aligned, float(dp[n, m])
 
 
+def _query_indices(seq: str) -> Optional[list]:
+    out = []
+    for a in seq:
+        if a == 'X':
+            out.append(-1)
+        elif a in C.AA_1:
+            out.append(C.AA_1.index(a))
+        else:
+            return None
+    return out
+
+
+def align_to_aho_batch(seqs, chain_type: str = 'H'):
+    """Batched ``align_to_aho`` over one chain profile: one native
+    ``hd_align_batch`` crossing for N sequences instead of N python DP runs
+    (falls back to the per-sequence path without the native library).
+
+    Returns a list of (aligned 149-char string, score) / None entries.
+    """
+    score_mat, skip_cost = _profile(chain_type)
+    prepared = []
+    for seq in seqs:
+        q = _query_indices(seq)
+        if q is None or len(q) > C.AHO_LEN or len(q) == 0:
+            prepared.append(None)
+        else:
+            prepared.append(q)
+    live = [(i, q) for i, q in enumerate(prepared) if q is not None]
+    out: list = [None] * len(prepared)
+    if not live:
+        return out
+    try:
+        from . import _native
+        results = _native.align_batch([q for _, q in live], score_mat,
+                                      skip_cost)
+        for (i, q), (cols, total) in zip(live, results):
+            if cols is not None:
+                aligned = ''.join(seqs[i][k] if k >= 0 else '-' for k in cols)
+                out[i] = (aligned, total)
+    except ImportError:
+        for i, _ in live:
+            out[i] = align_to_aho(seqs[i], chain_type)
+    return out
+
+
 def detect_chain_type(seq: str) -> Tuple[str, str, float]:
     """Best-scoring consensus -> (chain_group 'H'/'K'/'L', profile key, score)."""
     best = None

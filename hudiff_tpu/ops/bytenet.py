@@ -60,7 +60,10 @@ class ByteNetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        act = nn.relu if self.activation == 'relu' else nn.gelu
+        # exact (erf) GELU: torch nn.GELU default, needed for numeric parity
+        # with converted reference checkpoints (tests/test_denoiser_parity.py)
+        act = nn.relu if self.activation == 'relu' else (
+            lambda v: nn.gelu(v, approximate=False))
         h = nn.LayerNorm(dtype=self.dtype)(x)
         h = act(h)
         h = nn.Dense(self.d_h, dtype=self.dtype, param_dtype=jnp.float32)(h)

@@ -347,25 +347,33 @@ def run_ab(args) -> str:
     for name, h_seq, l_seq in pairs:
         with open(save_fpath, 'a', encoding='UTF-8') as f:
             f.write(f'mouse,{name},{h_seq},{l_seq}\n')
-        res = hum(h_seq, l_seq, finetune=finetune,
-                  inpaint=args.sample_method == 'inpaint')
-        if res is None:
+        # resample with fresh orders until --sample-number unique candidates
+        # or the retry cap (reference loops until N distinct, sample.py:181-217)
+        unique: list = []
+        seen = set()
+        failed = False
+        target = 1 if args.similarity_search else args.sample_number
+        for _ in range(args.max_retry):
+            res = hum(h_seq, l_seq, finetune=finetune,
+                      inpaint=args.sample_method == 'inpaint')
+            if res is None:
+                failed = True
+                break
+            cands = ([res['best']] if args.similarity_search
+                     else list(zip(res['h_seqs'], res['l_seqs'])))
+            for cand in cands:
+                if cand not in seen and len(unique) < target:
+                    seen.add(cand)
+                    unique.append(cand)
+            if len(unique) >= target:
+                break
+        if failed and not unique:
             logger.warning('could not align %s; skipped', name)
             continue
         with open(save_fpath, 'a', encoding='UTF-8') as f:
-            if args.similarity_search:
-                g_h, g_l = res['best']
+            for g_h, g_l in unique:
                 f.write(f'humanization,{name}human_sample,{g_h},{g_l}\n')
-            else:
-                seen = set()
-                written = 0
-                for g_h, g_l in zip(res['h_seqs'], res['l_seqs']):
-                    if (g_h, g_l) in seen or written >= args.sample_number:
-                        continue
-                    seen.add((g_h, g_l))
-                    f.write(f'humanization,{name}human_sample,{g_h},{g_l}\n')
-                    written += 1
-        logger.info('humanized %s', name)
+        logger.info('humanized %s (%d candidates)', name, len(unique))
     logger.info('results: %s', save_fpath)
     return save_fpath
 
@@ -401,21 +409,32 @@ def run_nano(args) -> str:
     for name, seq in rows:
         with open(save_fpath, 'a', encoding='UTF-8') as f:
             f.write(f'camel,{name},{seq}\n')
-        res = hum(seq, finetune=finetune, inpaint=args.sample_method == 'inpaint')
-        if res is None:
+        # resample until --sample-number unique candidates or the retry cap
+        # (reference sample_for_nano_cdr.py:167-201 loops to N distinct)
+        unique: list = []
+        seen = set()
+        failed = False
+        target = 1 if args.similarity_search else args.sample_number
+        for _ in range(args.max_retry):
+            res = hum(seq, finetune=finetune,
+                      inpaint=args.sample_method == 'inpaint')
+            if res is None:
+                failed = True
+                break
+            cands = [res['best']] if args.similarity_search else res['seqs']
+            for s in cands:
+                if s not in seen and len(unique) < target:
+                    seen.add(s)
+                    unique.append(s)
+            if len(unique) >= target:
+                break
+        if failed and not unique:
             logger.warning('could not align/humanize %s; skipped', name)
             continue
         with open(save_fpath, 'a', encoding='UTF-8') as f:
-            if args.similarity_search:
-                f.write(f'humanization,{name}human_sample,{res["best"]}\n')
-            else:
-                written = 0
-                for s in dict.fromkeys(res['seqs']):
-                    if written >= args.sample_number:
-                        break
-                    f.write(f'humanization,{name}human_sample,{s}\n')
-                    written += 1
-        logger.info('humanized %s', name)
+            for s in unique:
+                f.write(f'humanization,{name}human_sample,{s}\n')
+        logger.info('humanized %s (%d candidates)', name, len(unique))
     logger.info('results: %s', save_fpath)
     return save_fpath
 
@@ -431,6 +450,9 @@ def main(argv=None):
         q.add_argument('--data-fpath', default=None)
         q.add_argument('--batch-size', type=int, default=16)
         q.add_argument('--sample-number', type=int, default=1)
+        q.add_argument('--max-retry', type=int, default=8,
+                       help='resampling rounds to reach --sample-number '
+                            'unique candidates (reference sample.py:181-217)')
         q.add_argument('--seed', type=int, default=2023)
         q.add_argument('--sample-order', default='shuffle',
                        choices=['shuffle', 'sequential'])

@@ -139,9 +139,13 @@ def build_order(mask_positions, batch: int, rng: Optional[jax.Array] = None,
     K = len(pos) if pad_to is None else pad_to
     out = np.full((batch, K), -1, dtype=np.int32)
     if shuffle:
-        seeds = (np.asarray(jax.random.key_data(rng)).sum()
-                 if rng is not None else 0)
-        rs = np.random.RandomState(int(seeds) % (2 ** 31))
+        # seed numpy from the FULL key data via SeedSequence (a key_data.sum()
+        # reduction collides across folds and silently degrades order
+        # diversity between retry rounds)
+        entropy = (np.asarray(jax.random.key_data(rng)).ravel().tolist()
+                   if rng is not None else [0])
+        rs = np.random.Generator(np.random.PCG64(
+            np.random.SeedSequence([int(e) for e in entropy])))
         for b in range(batch):
             out[b, : len(pos)] = rs.permutation(pos)
     else:

@@ -96,6 +96,140 @@ def _strip_module_prefix(state_dict: dict) -> dict:
             for k, v in state_dict.items()}
 
 
+class TorchParamConverter:
+    """torch state_dict -> Flax param tree helpers shared by the full
+    denoiser converter and the partial (parity-test) converters."""
+
+    def __init__(self, state_dict: dict, nhead: int = 8):
+        self.sd = {k: np.asarray(v.detach().cpu().numpy()
+                                 if hasattr(v, 'detach') else v)
+                   for k, v in _strip_module_prefix(state_dict).items()}
+        self.nhead = nhead
+        self.out: dict = {}
+
+    def put(self, path: str, value: np.ndarray):
+        node = self.out
+        parts = path.split('/')
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    def dense(self, dst: str, src: str):
+        self.put(dst + '/kernel', self.sd[src + '.weight'].T)
+        if src + '.bias' in self.sd:
+            self.put(dst + '/bias', self.sd[src + '.bias'])
+
+    def _rope_permute(self, cols: int) -> np.ndarray:
+        """Column permutation mapping the reference's interleaved RoPE pairs
+        (2i, 2i+1) onto this framework's rotate-half layout (i, D/2+i),
+        per head (ops/rope.py). Scores are invariant to a consistent (q, k)
+        pair permutation, so this preserves the model exactly."""
+        d = cols // self.nhead
+        per_head = np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
+        return np.concatenate([h * d + per_head for h in range(self.nhead)])
+
+    def qkv_dense(self, dst: str, src: str):
+        """Concatenate the reference's query/key/value projections into the
+        merged qkv Dense, permuting q/k columns into rotate-half order."""
+        sd = self.sd
+        ws, bs = [], []
+        for part, permute in (('query', True), ('key', True), ('value', False)):
+            w = sd[f'{src}.{part}.weight'].T         # [in, out]
+            b = sd.get(f'{src}.{part}.bias')
+            if permute:
+                perm = self._rope_permute(w.shape[1])
+                w = w[:, perm]
+                b = None if b is None else b[perm]
+            ws.append(w)
+            bs.append(b if b is not None else np.zeros(w.shape[1], w.dtype))
+        self.put(dst + '/kernel', np.concatenate(ws, axis=1))
+        self.put(dst + '/bias', np.concatenate(bs))
+
+    def layernorm(self, dst: str, src: str):
+        self.put(dst + '/scale', self.sd[src + '.weight'])
+        self.put(dst + '/bias', self.sd[src + '.bias'])
+
+    def conv1d(self, dst: str, src: str):
+        # torch [out, in, k] -> flax [k, in, out]
+        self.put(dst + '/kernel', self.sd[src + '.weight'].transpose(2, 1, 0))
+        self.put(dst + '/bias', self.sd[src + '.bias'])
+
+    def pff_conv(self, dst: str, src: str):
+        # sequence_models PositionFeedForward = Conv1d(k=1): [out, in, 1]
+        sd = self.sd
+        w = sd[src + '.conv.weight'] if src + '.conv.weight' in sd \
+            else sd[src + '.weight']
+        if w.ndim == 3:
+            w = w[:, :, 0]
+        self.put(dst + '/kernel', w.T)
+        bias_key = src + '.conv.bias' if src + '.conv.bias' in sd else src + '.bias'
+        if bias_key in sd:
+            self.put(dst + '/bias', sd[bias_key])
+
+    def bytenet_block(self, dst: str, src: str):
+        # reference sequence1 = [LN, act, PFF, LN, act]; conv;
+        # sequence2 = [LN, act, PFF]
+        self.layernorm(dst + '/LayerNorm_0', src + '.sequence1.0')
+        self.pff_conv(dst + '/Dense_0', src + '.sequence1.2')
+        self.layernorm(dst + '/LayerNorm_1', src + '.sequence1.3')
+        self.conv1d(dst + '/DilatedConv1d_0/Conv_0', src + '.conv')
+        self.layernorm(dst + '/LayerNorm_2', src + '.sequence2.0')
+        self.pff_conv(dst + '/Dense_1', src + '.sequence2.2')
+
+    def att_layer(self, dst: str, src: str):
+        self.qkv_dense(dst + '/qkv', src)
+        self.dense(dst + '/out', src + '.out_put')
+
+    def self_att(self, dst: str, src: str, n_layers: int):
+        for i in range(n_layers):
+            blk_src = f'{src}.layers.{i}'
+            blk_dst = f'{dst}/block_{i}'
+            self.att_layer(blk_dst + '/attn', blk_src + '.attn_hl')
+            self.att_layer(blk_dst + '/attn_c', blk_src + '.attn_hl_c')
+            self.layernorm(blk_dst + '/norm1', blk_src + '.norm_hl1')
+            self.layernorm(blk_dst + '/norm2', blk_src + '.norm_hl2')
+            self.dense(blk_dst + '/Dense_0', blk_src + '.ff_hl.0')
+            self.dense(blk_dst + '/Dense_1', blk_src + '.ff_hl.2')
+
+    def tower(self, dst: str, src_fmt: str, n_layers: int):
+        for i in range(n_layers):
+            self.bytenet_block(f'{dst}/ByteNetBlock_{i}', src_fmt.format(i))
+
+    def count_layers(self, prefix: str) -> int:
+        n = 0
+        while any(k.startswith(f'{prefix}.{n}.') for k in self.sd):
+            n += 1
+        return n
+
+
+def convert_torch_self_att(state_dict: dict, nhead: int = 8) -> dict:
+    """Convert a bare reference ``SelfAttNet`` state_dict (keys
+    ``layers.{i}.attn_hl...``, model/encoder/cross_attention.py:291-310) onto
+    this framework's ``SelfAttNet`` param tree — used for the numeric
+    torch->jax parity test of the attention stack + RoPE permutation."""
+    c = TorchParamConverter(state_dict, nhead=nhead)
+    n_layers = c.count_layers('layers')
+    for i in range(n_layers):
+        blk_src = f'layers.{i}'
+        blk_dst = f'block_{i}'
+        c.att_layer(blk_dst + '/attn', blk_src + '.attn_hl')
+        c.att_layer(blk_dst + '/attn_c', blk_src + '.attn_hl_c')
+        c.layernorm(blk_dst + '/norm1', blk_src + '.norm_hl1')
+        c.layernorm(blk_dst + '/norm2', blk_src + '.norm_hl2')
+        c.dense(blk_dst + '/Dense_0', blk_src + '.ff_hl.0')
+        c.dense(blk_dst + '/Dense_1', blk_src + '.ff_hl.2')
+    return {'params': c.out}
+
+
+def convert_torch_bytenet_block(state_dict: dict) -> dict:
+    """Convert one bare reference ByteNetBlock (sequence_models layout:
+    ``sequence1.* / conv / sequence2.*``) onto this framework's
+    ``ByteNetBlock`` param tree (parity test support)."""
+    c = TorchParamConverter({f'b.{k}': v for k, v in state_dict.items()})
+    c.bytenet_block('blk', 'b')
+    return {'params': c.out['blk']}
+
+
 def convert_torch_denoiser(state_dict: dict, pair: bool = True,
                            nhead: int = 8) -> dict:
     """Map a reference AntiTFNet/NanoAntiTFNet torch state_dict onto this
@@ -103,100 +237,11 @@ def convert_torch_denoiser(state_dict: dict, pair: bool = True,
     models/denoiser.py for the layer correspondence). ``nhead`` is needed to
     permute query/key columns into the rotate-half RoPE layout (both
     reference configs use nhead=8, configs/antibody_train.yml:22)."""
-    sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, 'detach') else v)
-          for k, v in _strip_module_prefix(state_dict).items()}
-
-    out: dict = {}
-
-    def put(path: str, value: np.ndarray):
-        node = out
-        parts = path.split('/')
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = value
-
-    def dense(dst: str, src: str):
-        put(dst + '/kernel', sd[src + '.weight'].T)
-        if src + '.bias' in sd:
-            put(dst + '/bias', sd[src + '.bias'])
-
-    def _rope_permute(cols: int) -> np.ndarray:
-        """Column permutation mapping the reference's interleaved RoPE pairs
-        (2i, 2i+1) onto this framework's rotate-half layout (i, D/2+i),
-        per head (ops/rope.py). Scores are invariant to a consistent (q, k)
-        pair permutation, so this preserves the model exactly."""
-        d = cols // nhead
-        per_head = np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
-        return np.concatenate([h * d + per_head for h in range(nhead)])
-
-    def qkv_dense(dst: str, src: str):
-        """Concatenate the reference's query/key/value projections into the
-        merged qkv Dense, permuting q/k columns into rotate-half order."""
-        ws, bs = [], []
-        for part, permute in (('query', True), ('key', True), ('value', False)):
-            w = sd[f'{src}.{part}.weight'].T         # [in, out]
-            b = sd.get(f'{src}.{part}.bias')
-            if permute:
-                perm = _rope_permute(w.shape[1])
-                w = w[:, perm]
-                b = None if b is None else b[perm]
-            ws.append(w)
-            bs.append(b if b is not None else np.zeros(w.shape[1], w.dtype))
-        put(dst + '/kernel', np.concatenate(ws, axis=1))
-        put(dst + '/bias', np.concatenate(bs))
-
-    def layernorm(dst: str, src: str):
-        put(dst + '/scale', sd[src + '.weight'])
-        put(dst + '/bias', sd[src + '.bias'])
-
-    def conv1d(dst: str, src: str):
-        # torch [out, in, k] -> flax [k, in, out]
-        put(dst + '/kernel', sd[src + '.weight'].transpose(2, 1, 0))
-        put(dst + '/bias', sd[src + '.bias'])
-
-    def bytenet_block(dst: str, src: str):
-        # reference sequence1 = [LN, act, PFF, LN, act]; conv; sequence2 = [LN, act, PFF]
-        layernorm(dst + '/LayerNorm_0', src + '.sequence1.0')
-        pff_conv(dst + '/Dense_0', src + '.sequence1.2')
-        layernorm(dst + '/LayerNorm_1', src + '.sequence1.3')
-        conv1d(dst + '/DilatedConv1d_0/Conv_0', src + '.conv')
-        layernorm(dst + '/LayerNorm_2', src + '.sequence2.0')
-        pff_conv(dst + '/Dense_1', src + '.sequence2.2')
-
-    def pff_conv(dst: str, src: str):
-        # sequence_models PositionFeedForward = Conv1d(k=1): [out, in, 1]
-        w = sd[src + '.conv.weight'] if src + '.conv.weight' in sd else sd[src + '.weight']
-        if w.ndim == 3:
-            w = w[:, :, 0]
-        put(dst + '/kernel', w.T)
-        bias_key = src + '.conv.bias' if src + '.conv.bias' in sd else src + '.bias'
-        if bias_key in sd:
-            put(dst + '/bias', sd[bias_key])
-
-    def att_layer(dst: str, src: str):
-        qkv_dense(dst + '/qkv', src)
-        dense(dst + '/out', src + '.out_put')
-
-    def self_att(dst: str, src: str, n_layers: int):
-        for i in range(n_layers):
-            blk_src = f'{src}.layers.{i}'
-            blk_dst = f'{dst}/block_{i}'
-            att_layer(blk_dst + '/attn', blk_src + '.attn_hl')
-            att_layer(blk_dst + '/attn_c', blk_src + '.attn_hl_c')
-            layernorm(blk_dst + '/norm1', blk_src + '.norm_hl1')
-            layernorm(blk_dst + '/norm2', blk_src + '.norm_hl2')
-            dense(blk_dst + '/Dense_0', blk_src + '.ff_hl.0')
-            dense(blk_dst + '/Dense_1', blk_src + '.ff_hl.2')
-
-    def tower(dst: str, src_fmt: str, n_layers: int):
-        for i in range(n_layers):
-            bytenet_block(f'{dst}/ByteNetBlock_{i}', src_fmt.format(i))
-
-    def count_layers(prefix: str) -> int:
-        n = 0
-        while any(k.startswith(f'{prefix}.{n}.') for k in sd):
-            n += 1
-        return n
+    c = TorchParamConverter(state_dict, nhead=nhead)
+    sd = c.sd
+    put, dense, layernorm = c.put, c.dense, c.layernorm
+    pff_conv, self_att, tower, count_layers = (c.pff_conv, c.self_att,
+                                               c.tower, c.count_layers)
 
     put('aa_embed/embedding',
         sd['aa_encoder.embedder.weight'])
@@ -231,7 +276,7 @@ def convert_torch_denoiser(state_dict: dict, pair: bool = True,
 
     layernorm('last_norm', 'last_norm')
     dense('decoder', 'decoder')
-    return {'params': out}
+    return {'params': c.out}
 
 
 def load_torch_checkpoint(path: str) -> dict:

@@ -68,12 +68,17 @@ def load_abnativ(path: Optional[str], straight_through: bool,
 # Device steps
 # ---------------------------------------------------------------------------
 
-def make_nano_finetune_step(infill_model, loss_builder_out, cdr_row,
-                            reconstruct: bool, recon_weight: float):
-    """loss = framework humanness loss + CDR CE (+ reconstruct)."""
+def make_nano_finetune_fns(infill_model, loss_builder_out, cdr_row,
+                           reconstruct: bool, recon_weight: float):
+    """(train_step, eval_step) for the Nb framework.
+
+    loss = framework humanness loss + CDR CE (+ reconstruct). The eval step
+    computes the same total loss without an update (reference finetune_val,
+    nanofinetune.py:202-335).
+    """
     loss_fn = loss_builder_out
 
-    def step(state: T.TrainState, tokens, aho, rng):
+    def total_loss(params, tokens, aho, rng):
         B = tokens.shape[0]
         region = jnp.broadcast_to(jnp.asarray(C.HEAVY_REGION_INDEX),
                                   (B, C.HEAVY_LEN))
@@ -81,33 +86,37 @@ def make_nano_finetune_step(infill_model, loss_builder_out, cdr_row,
             jnp.broadcast_to(cdr_row != 0, tokens.shape),
             tokens == C.IDX_PAD)
         cdr_mask = jnp.broadcast_to(cdr_row != 0, tokens.shape)
-        rng = jax.random.fold_in(rng, state.step)
         rng_mask, rng_loss = jax.random.split(rng)
         cor = masking.corrupt(rng_mask, tokens, protected, window=150)
-
         batch = {'src': cor.src, 'mask': cor.mask, 'ref': tokens,
                  'region': region, 'aho': aho}
+        ab_loss, (metrics, logits) = loss_fn(params, batch, rng_loss)
+        ce = L.nano_finetune_ce(logits, tokens, cdr_mask,
+                                mask=cor.mask, reconstruct=reconstruct)
+        loss = ab_loss + ce['cdr_ce']
+        metrics['cdr_ce'] = ce['cdr_ce']
+        if reconstruct:
+            loss = loss + recon_weight * ce['reconstruct_ce']
+            metrics['reconstruct_ce'] = ce['reconstruct_ce']
+        metrics['loss'] = loss
+        return loss, metrics
 
-        def total_loss(params):
-            ab_loss, (metrics, logits) = loss_fn(params, batch, rng_loss)
-            ce = L.nano_finetune_ce(logits, tokens, cdr_mask,
-                                    mask=cor.mask, reconstruct=reconstruct)
-            loss = ab_loss + ce['cdr_ce']
-            metrics['cdr_ce'] = ce['cdr_ce']
-            if reconstruct:
-                loss = loss + recon_weight * ce['reconstruct_ce']
-                metrics['reconstruct_ce'] = ce['reconstruct_ce']
-            metrics['loss'] = loss
-            return loss, metrics
-
+    def step(state: T.TrainState, tokens, aho, rng):
+        rng = jax.random.fold_in(rng, state.step)
         (_, metrics), grads = jax.value_and_grad(total_loss, has_aux=True)(
-            state.params)
+            state.params, tokens, aho, rng)
         return state.apply_gradients(grads), metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    def eval_step(params, tokens, aho, rng):
+        _, metrics = total_loss(params, tokens, aho, rng)
+        return metrics
+
+    return (jax.jit(step, donate_argnums=(0,)), jax.jit(eval_step))
 
 
-def make_ab_finetune_step(loss_fn, mouse_h_ratio: float, mouse_l_ratio: float):
+def make_ab_finetune_fns(loss_fn, mouse_h_ratio: float, mouse_l_ratio: float):
+    """(train_step, eval_step) for the Ab framework
+    (loss composition: antibody_finetune.py:71)."""
     cdr_row = jnp.concatenate([jnp.asarray(C.HEAVY_CDR_KABAT_NO_VERNIER),
                                jnp.asarray(C.LIGHT_CDR_KABAT_NO_VERNIER)])
     plain_cdr = jnp.concatenate([jnp.asarray(C.HEAVY_CDR_INDEX),
@@ -115,34 +124,37 @@ def make_ab_finetune_step(loss_fn, mouse_h_ratio: float, mouse_l_ratio: float):
     region_row = jnp.concatenate([jnp.asarray(C.HEAVY_REGION_INDEX),
                                   jnp.asarray(C.LIGHT_REGION_INDEX)])
 
-    def step(state: T.TrainState, tokens, chain_type, aho_pair, rng):
+    def total_loss(params, tokens, chain_type, aho_pair, rng):
         B = tokens.shape[0]
         region = jnp.broadcast_to(region_row, (B, C.PAIR_LEN))
         protected = masking.pair_protected_mask(tokens, cdr_row,
                                                 protect_pads=True)
         cdr_mask = jnp.broadcast_to(plain_cdr != 0, tokens.shape)
-        rng = jax.random.fold_in(rng, state.step)
         rng_mask, rng_loss = jax.random.split(rng)
         cor = masking.corrupt(rng_mask, tokens, protected)
         batch = {'src': cor.src, 'mask': cor.mask, 'ref': tokens,
                  'region': region, 'chain_type': chain_type, 'aho': aho_pair}
+        ab_loss, (metrics, logits) = loss_fn(params, batch, rng_loss)
+        ce = L.pair_oardm_split_loss(logits, tokens, cor.mask, cdr_mask)
+        loss = (ab_loss + ce['h_cdr_ce'] + ce['l_cdr_ce']
+                + mouse_h_ratio * ce['h_ce'] + mouse_l_ratio * ce['l_ce'])
+        metrics.update({'h_cdr_ce': ce['h_cdr_ce'],
+                        'l_cdr_ce': ce['l_cdr_ce'],
+                        'h_ce': ce['h_ce'], 'l_ce': ce['l_ce'],
+                        'loss': loss})
+        return loss, metrics
 
-        def total_loss(params):
-            ab_loss, (metrics, logits) = loss_fn(params, batch, rng_loss)
-            ce = L.pair_oardm_split_loss(logits, tokens, cor.mask, cdr_mask)
-            loss = (ab_loss + ce['h_cdr_ce'] + ce['l_cdr_ce']
-                    + mouse_h_ratio * ce['h_ce'] + mouse_l_ratio * ce['l_ce'])
-            metrics.update({'h_cdr_ce': ce['h_cdr_ce'],
-                            'l_cdr_ce': ce['l_cdr_ce'],
-                            'h_ce': ce['h_ce'], 'l_ce': ce['l_ce'],
-                            'loss': loss})
-            return loss, metrics
-
+    def step(state: T.TrainState, tokens, chain_type, aho_pair, rng):
+        rng = jax.random.fold_in(rng, state.step)
         (_, metrics), grads = jax.value_and_grad(total_loss, has_aux=True)(
-            state.params)
+            state.params, tokens, chain_type, aho_pair, rng)
         return state.apply_gradients(grads), metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    def eval_step(params, tokens, chain_type, aho_pair, rng):
+        _, metrics = total_loss(params, tokens, chain_type, aho_pair, rng)
+        return metrics
+
+    return (jax.jit(step, donate_argnums=(0,)), jax.jit(eval_step))
 
 
 # ---------------------------------------------------------------------------
@@ -233,7 +245,7 @@ def run_nano(cfg: Namespace, args) -> str:
                                          ft_cfg, vhh_model, vhh_vars)
     cdr_row = jnp.asarray(C.HEAVY_CDR_INDEX)
     reconstruct = bool(cfg.model.get('part_reconstruct_vhh', False))
-    step_fn = make_nano_finetune_step(
+    step_fn, eval_fn = make_nano_finetune_fns(
         infill_model, loss_fn, cdr_row, reconstruct,
         cfg.finetune.get('reconstruct_loss_weight', 1e-3))
 
@@ -241,11 +253,17 @@ def run_nano(cfg: Namespace, args) -> str:
     cross = bool(args.cross_training)
     if cross:
         heavy_step = T.make_heavy_train_step(infill_model, donate=False)
+        heavy_eval = T.make_eval_step(infill_model, pair=False)
         if args.heavy_data:
             heavy_it = pipeline.prefetch(
                 oas_heavy_batches(args.heavy_data, cfg.finetune.batch_size, seed))
+            heavy_val_it, n_heavy_val = oas_heavy_val_batches(
+                args.heavy_data, cfg.finetune.batch_size)
         else:
             heavy_it = _synthetic_heavy_gen(cfg.finetune.batch_size, seed)
+            heavy_val_it = _synthetic_heavy_gen(cfg.finetune.batch_size,
+                                                seed + 500)
+            n_heavy_val = 2
 
     tx = schedules.make_optimizer(cfg.finetune.optimizer,
                                   clip_norm=cfg.finetune.get('clip_norm'))
@@ -253,6 +271,8 @@ def run_nano(cfg: Namespace, args) -> str:
 
     if args.synthetic:
         vhh_it = synthetic_nano_batches(cfg.finetune.batch_size, seed)
+        vhh_val_it = synthetic_nano_batches(cfg.finetune.batch_size, seed + 501)
+        n_val_batches = 2
     else:
         ds = oas.OasUnpairDataset(args.vhh_data, chaintype='vhh')
         tok = Tokenizer()
@@ -260,6 +280,13 @@ def run_nano(cfg: Namespace, args) -> str:
                                                drop_aho_failed=True)
         vhh_it = oas.batch_iterator(ds, ds.splits['train'],
                                     cfg.finetune.batch_size, collate, seed=seed)
+        # held-out VHH validation split (reference vhh_val_loader,
+        # nanofinetune.py:416-435)
+        vhh_val_it = oas.batch_iterator(ds, ds.splits['val'],
+                                        cfg.finetune.batch_size, collate,
+                                        shuffle=False)
+        n_val_batches = oas.n_batches_per_epoch(len(ds.splits['val']),
+                                                cfg.finetune.batch_size)
     vhh_it = pipeline.prefetch(vhh_it, 2)
 
     plateau = schedules.make_host_scheduler(cfg.finetune.scheduler,
@@ -267,10 +294,14 @@ def run_nano(cfg: Namespace, args) -> str:
 
     ckpt_dir = os.path.join(log_dir, 'checkpoints')
     best = float('inf')
+    if getattr(args, 'resume', None):
+        state, plateau, best = _restore_finetune(args.resume, state, plateau,
+                                                 logger)
     max_iter = args.max_iter or cfg.finetune.max_iter
     valid_step = args.valid_step or cfg.finetune.valid_step
     t0 = time.time()
-    for it in range(1, max_iter + 1):
+    start_it = int(state.step)
+    for it in range(start_it + 1, max_iter + 1):
         batch = next(vhh_it)
         if cross and it % cfg.finetune.get('cross_interval', 5) == 0:
             state, hm = heavy_step(state, jnp.asarray(next(heavy_it)), rng)
@@ -279,23 +310,80 @@ def run_nano(cfg: Namespace, args) -> str:
         state, m = step_fn(state, jnp.asarray(batch['tokens']),
                            jnp.asarray(batch['aho']), rng)
         m = {k: float(v) for k, v in m.items()}
-        m['steps_per_sec'] = it / max(time.time() - t0, 1e-9)
+        m['steps_per_sec'] = (it - start_it) / max(time.time() - t0, 1e-9)
         writer.write(it, m, prefix='finetune')
         logger.info('iter %d | %s', it,
                     ' | '.join(f'{k}: {v:.5f}' for k, v in sorted(m.items())))
         if it % valid_step == 0 or it == max_iter:
-            new_lr = plateau.update(m['loss'])
+            # full held-out validation drives the plateau LR and best-ckpt
+            # selection (reference nanofinetune.py:524-539)
+            def _val(vb, j, _it=it):
+                vrng = jax.random.fold_in(jax.random.fold_in(rng, 7919 + _it), j)
+                return eval_fn(state.params, jnp.asarray(vb['tokens']),
+                               jnp.asarray(vb['aho']), vrng)
+
+            vm = T.evaluate(_val, vhh_val_it, n_val_batches)
+            if cross:
+                def _hval(vb, j, _it=it):
+                    vrng = jax.random.fold_in(
+                        jax.random.fold_in(rng, 104729 + _it), j)
+                    tokens = vb['tokens'] if isinstance(vb, dict) else vb
+                    return heavy_eval(state.params, jnp.asarray(tokens),
+                                      None, vrng)
+
+                hv = T.evaluate(_hval, heavy_val_it, n_heavy_val)
+                vm.update({f'heavy_{k}': v for k, v in hv.items()})
+            writer.write(it, vm, prefix='val')
+            logger.info('valid %d | %s', it,
+                        ' | '.join(f'{k}: {v:.5f}'
+                                   for k, v in sorted(vm.items())))
+            new_lr = plateau.update(vm['loss'])
             schedules.set_learning_rate(state.opt_state, new_lr)
-            if m['loss'] < best:
-                best = m['loss']
+            if vm['loss'] < best:
+                best = vm['loss']
                 CKPT.save(ckpt_dir, it, state.params, state.opt_state,
                           config={'model': dataclasses.asdict(model_cfg),
                                   'finetune': cfg.to_dict(),
                                   'finetuned': True, 'kind': 'heavy'},
-                          extra={'loss': best})
-                logger.info('saved best checkpoint at iter %d', it)
+                          extra={'val_loss': best,
+                                 'scheduler': plateau.state_dict()})
+                logger.info('saved best checkpoint at iter %d (val %.5f)',
+                            it, best)
     writer.close()
     return log_dir
+
+
+def _restore_finetune(resume_dir: str, state, plateau, logger):
+    """Resume a fine-tune run: params/opt_state/step + host-scheduler state
+    + best-val (reference reloads the saved framework + scheduler,
+    nanofinetune.py:530-539)."""
+    restored = CKPT.restore(resume_dir, template={
+        'params': state.params, 'opt_state': state.opt_state})
+    state = state.replace(params=restored['payload']['params'],
+                          opt_state=restored['payload']['opt_state'],
+                          step=jnp.asarray(restored['step'], jnp.int32))
+    meta = restored['meta']
+    best = float(meta.get('val_loss', meta.get('loss', float('inf'))))
+    if meta.get('scheduler'):
+        plateau.load_state_dict(meta['scheduler'])
+        schedules.set_learning_rate(state.opt_state, plateau.lr)
+    logger.info('resumed from %s at step %d (lr %.3g, best val %.5f)',
+                resume_dir, restored['step'], plateau.lr, best)
+    return state, plateau, best
+
+
+def oas_heavy_val_batches(path: str, batch_size: int):
+    """(iterator, n_batches) over the heavy val split (token batches)."""
+    ds = oas.OasUnpairDataset(path, chaintype='heavy')
+    tok = Tokenizer()
+    collate = lambda recs: oas.heavy_batch(recs, tok)
+
+    def gen():
+        for b in oas.batch_iterator(ds, ds.splits['val'], batch_size, collate,
+                                    shuffle=False):
+            yield b['tokens']
+
+    return gen(), oas.n_batches_per_epoch(len(ds.splits['val']), batch_size)
 
 
 def _synthetic_heavy_gen(batch_size: int, seed: int):
@@ -341,15 +429,18 @@ def run_ab(cfg: Namespace, args) -> str:
     loss_fn = FT.make_ab_finetune_loss(infill_model, vh_model, vh_vars,
                                        vlk_model, vlk_vars, vll_model,
                                        vll_vars, ft_cfg)
-    step_fn = make_ab_finetune_step(loss_fn,
-                                    cfg.model.get('mouse_resi_h_ratio', 0.0),
-                                    cfg.model.get('mouse_resi_l_ratio', 0.0))
+    step_fn, eval_fn = make_ab_finetune_fns(
+        loss_fn,
+        cfg.model.get('mouse_resi_h_ratio', 0.0),
+        cfg.model.get('mouse_resi_l_ratio', 0.0))
 
     tx = schedules.make_optimizer(cfg.finetune.optimizer)
     state = T.TrainState.create(variables, tx)
 
     if args.synthetic:
         it_batches = synthetic_pair_batches(cfg.finetune.batch_size, seed)
+        val_batches = synthetic_pair_batches(cfg.finetune.batch_size, seed + 501)
+        n_val_batches = 2
     else:
         ds = oas.OasPairDataset(args.mouse_data, mouse=True)
         tok = Tokenizer()
@@ -362,36 +453,59 @@ def run_ab(cfg: Namespace, args) -> str:
         it_batches = oas.batch_iterator(ds, ds.splits['train'],
                                         cfg.finetune.batch_size, merge,
                                         seed=seed)
+        val_batches = oas.batch_iterator(ds, ds.splits['val'],
+                                         cfg.finetune.batch_size, merge,
+                                         shuffle=False)
+        n_val_batches = oas.n_batches_per_epoch(len(ds.splits['val']),
+                                                cfg.finetune.batch_size)
     it_batches = pipeline.prefetch(it_batches, 2)
 
     plateau = schedules.make_host_scheduler(cfg.finetune.scheduler,
                                             init_lr=cfg.finetune.optimizer.lr)
     ckpt_dir = os.path.join(log_dir, 'checkpoints')
     best = float('inf')
+    if getattr(args, 'resume', None):
+        state, plateau, best = _restore_finetune(args.resume, state, plateau,
+                                                 logger)
     max_iter = args.max_iter or cfg.finetune.max_iter
     valid_step = args.valid_step or cfg.finetune.valid_step
     t0 = time.time()
-    for it in range(1, max_iter + 1):
+    start_it = int(state.step)
+    for it in range(start_it + 1, max_iter + 1):
         batch = next(it_batches)
         state, m = step_fn(state, jnp.asarray(batch['tokens']),
                            jnp.asarray(batch['chain_type']),
                            jnp.asarray(batch['aho']), rng)
         m = {k: float(v) for k, v in m.items()}
-        m['steps_per_sec'] = it / max(time.time() - t0, 1e-9)
+        m['steps_per_sec'] = (it - start_it) / max(time.time() - t0, 1e-9)
         writer.write(it, m, prefix='finetune')
         logger.info('iter %d | %s', it,
                     ' | '.join(f'{k}: {v:.5f}' for k, v in sorted(m.items())))
         if it % valid_step == 0 or it == max_iter:
-            new_lr = plateau.update(m['loss'])
+            # full held-out mouse-pair validation drives LR + best-ckpt
+            def _val(vb, j, _it=it):
+                vrng = jax.random.fold_in(jax.random.fold_in(rng, 7919 + _it), j)
+                return eval_fn(state.params, jnp.asarray(vb['tokens']),
+                               jnp.asarray(vb['chain_type']),
+                               jnp.asarray(vb['aho']), vrng)
+
+            vm = T.evaluate(_val, val_batches, n_val_batches)
+            writer.write(it, vm, prefix='val')
+            logger.info('valid %d | %s', it,
+                        ' | '.join(f'{k}: {v:.5f}'
+                                   for k, v in sorted(vm.items())))
+            new_lr = plateau.update(vm['loss'])
             schedules.set_learning_rate(state.opt_state, new_lr)
-            if m['loss'] < best:
-                best = m['loss']
+            if vm['loss'] < best:
+                best = vm['loss']
                 CKPT.save(ckpt_dir, it, state.params, state.opt_state,
                           config={'model': dataclasses.asdict(model_cfg),
                                   'finetune': cfg.to_dict(),
                                   'finetuned': True, 'kind': 'pair'},
-                          extra={'loss': best})
-                logger.info('saved best checkpoint at iter %d', it)
+                          extra={'val_loss': best,
+                                 'scheduler': plateau.state_dict()})
+                logger.info('saved best checkpoint at iter %d (val %.5f)',
+                            it, best)
     writer.close()
     return log_dir
 
@@ -410,6 +524,9 @@ def main(argv=None):
         q.add_argument('--valid-step', type=int, default=None)
         q.add_argument('--batch-size', type=int, default=None,
                        help='override the config batch size')
+        q.add_argument('--resume', default=None,
+                       help='checkpoint dir of a previous fine-tune run; '
+                            'restores params/optimizer/scheduler/best-val')
         q.add_argument('--fp32', action='store_true')
         q.add_argument('--tag', default='')
         if name == 'ab':

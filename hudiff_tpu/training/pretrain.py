@@ -53,7 +53,11 @@ def synthetic_batches(kind: str, batch_size: int, seed: int = 0
 
 
 def data_batches(kind: str, data_path: str, batch_size: int, split: str,
-                 seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+                 seed: int = 0):
+    """(iterator, n_batches_per_epoch) over a dataset split. The val
+    iterator is unshuffled, so pulling exactly n_batches per validation
+    walks the full split once (reference valid() iterates the whole val
+    loader, antibody_train.py:193-195)."""
     tok = Tokenizer()
     if kind == 'pair':
         ds = oas.OasPairDataset(data_path)
@@ -61,8 +65,9 @@ def data_batches(kind: str, data_path: str, batch_size: int, split: str,
     else:
         ds = oas.OasUnpairDataset(data_path, chaintype='heavy')
         collate = lambda recs: oas.heavy_batch(recs, tok)
-    return oas.batch_iterator(ds, ds.splits[split], batch_size, collate,
-                              seed=seed, shuffle=(split == 'train'))
+    it = oas.batch_iterator(ds, ds.splits[split], batch_size, collate,
+                            seed=seed, shuffle=(split == 'train'))
+    return it, oas.n_batches_per_epoch(len(ds.splits[split]), batch_size)
 
 
 def run(cfg: Namespace, kind: str, data_path: Optional[str], logdir: str,
@@ -95,9 +100,13 @@ def run(cfg: Namespace, kind: str, data_path: Optional[str], logdir: str,
     if synthetic:
         train_it = synthetic_batches(kind, batch_size, data_seed)
         val_it = synthetic_batches(kind, batch_size, data_seed + 1)
+        # synthetic data has no finite val split; use a small fixed pass
+        n_val_batches = max(1, min(4, synthetic // batch_size))
     else:
-        train_it = data_batches(kind, data_path, batch_size, 'train', data_seed)
-        val_it = data_batches(kind, data_path, batch_size, 'val', data_seed + 1)
+        train_it, _ = data_batches(kind, data_path, batch_size, 'train',
+                                   data_seed)
+        val_it, n_val_batches = data_batches(kind, data_path, batch_size,
+                                             'val', data_seed + 1)
 
     # mesh: pure data-parallel for pretraining
     mesh = M.make_mesh(model_axis=1)
@@ -125,13 +134,23 @@ def run(cfg: Namespace, kind: str, data_path: Optional[str], logdir: str,
     plateau = schedules.make_host_scheduler(cfg.train.scheduler,
                                             init_lr=cfg.train.optimizer.lr)
 
+    best_val = float('inf')
     if resume:
         restored = checkpoints.restore(resume, template={
             'params': state.params, 'opt_state': state.opt_state})
         state = state.replace(params=restored['payload']['params'],
                               opt_state=restored['payload']['opt_state'],
                               step=jnp.asarray(restored['step'], jnp.int32))
-        logger.info('resumed from %s at step %d', resume, restored['step'])
+        # continue at the persisted scheduler LR / patience / best-val
+        # (reference payload carries the scheduler, antibody_train.py:438-445)
+        meta = restored['meta']
+        if meta.get('scheduler'):
+            plateau.load_state_dict(meta['scheduler'])
+            schedules.set_learning_rate(state.opt_state, plateau.lr)
+        if meta.get('val_loss') is not None:
+            best_val = float(meta['val_loss'])
+        logger.info('resumed from %s at step %d (lr %.3g, best val %.5f)',
+                    resume, restored['step'], plateau.lr, best_val)
 
     if kind == 'pair':
         loss_type = cfg.train.get('loss_type', 'merge')
@@ -145,7 +164,6 @@ def run(cfg: Namespace, kind: str, data_path: Optional[str], logdir: str,
         step_fn = T.make_heavy_train_step(model)
         eval_fn = T.make_eval_step(model, pair=False)
 
-    best_val = float('inf')
     ckpt_dir = os.path.join(log_dir, 'checkpoints')
     os.makedirs(ckpt_dir, exist_ok=True)
     data_rng = jax.random.PRNGKey(seed + 17)
@@ -175,14 +193,15 @@ def run(cfg: Namespace, kind: str, data_path: Optional[str], logdir: str,
                     ' | '.join(f'{k}: {v:.5f}' for k, v in sorted(m.items())))
 
         if it % max(valid_step, 1) == 0 or it >= max_iter:
-            vbatch = next(val_feed)
-            if kind == 'pair':
-                vm = eval_fn(state.params, vbatch['tokens'],
-                             vbatch['chain_type'], jax.random.fold_in(rng, it))
-            else:
-                vm = eval_fn(state.params, vbatch['tokens'], None,
-                             jax.random.fold_in(rng, it))
-            vm = {k: float(v) for k, v in vm.items()}
+            # full-split validation: average over every val batch
+            def _val_step(vbatch, j, _it=it):
+                vrng = jax.random.fold_in(jax.random.fold_in(rng, _it), j)
+                if kind == 'pair':
+                    return eval_fn(state.params, vbatch['tokens'],
+                                   vbatch['chain_type'], vrng)
+                return eval_fn(state.params, vbatch['tokens'], None, vrng)
+
+            vm = T.evaluate(_val_step, val_feed, n_val_batches)
             metrics_writer.write(it, vm, prefix='val')
             logger.info('valid %d | %s', it,
                         ' | '.join(f'{k}: {v:.5f}' for k, v in sorted(vm.items())))
@@ -196,7 +215,8 @@ def run(cfg: Namespace, kind: str, data_path: Optional[str], logdir: str,
                                          if hasattr(cfg.train, 'to_dict')
                                          else dict(cfg.train),
                                          'kind': kind},
-                                 extra={'val_loss': best_val})
+                                 extra={'val_loss': best_val,
+                                        'scheduler': plateau.state_dict()})
                 logger.info('saved best checkpoint at iter %d (val %.5f)',
                             it, best_val)
     metrics_writer.close()

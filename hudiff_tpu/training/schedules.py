@@ -67,6 +67,19 @@ class ReduceOnPlateau:
                 self.bad = 0
         return self.lr
 
+    # host-scheduler state persists inside checkpoint metadata so resume
+    # continues at the same LR/patience (the reference saves the torch
+    # scheduler object, antibody_train.py:438-445)
+    def state_dict(self) -> dict:
+        return {'lr': self.lr, 'best': self.best, 'bad': self.bad,
+                'epoch': self.epoch}
+
+    def load_state_dict(self, state: dict) -> None:
+        self.lr = float(state['lr'])
+        self.best = None if state.get('best') is None else float(state['best'])
+        self.bad = int(state.get('bad', 0))
+        self.epoch = int(state.get('epoch', 0))
+
 
 @dataclasses.dataclass
 class CosineAnnealing:
@@ -90,6 +103,13 @@ class CosineAnnealing:
         self.lr = self.eta_min + (self.init_lr - self.eta_min) * \
             (1.0 + math.cos(math.pi * t / self.t_max)) / 2.0
         return self.lr
+
+    def state_dict(self) -> dict:
+        return {'lr': self.lr, 'epoch': self.epoch}
+
+    def load_state_dict(self, state: dict) -> None:
+        self.lr = float(state['lr'])
+        self.epoch = int(state.get('epoch', 0))
 
 
 def make_host_scheduler(sched_cfg, init_lr: float):

@@ -117,6 +117,25 @@ def make_heavy_train_step(model, donate: bool = True) -> Callable:
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def evaluate(step_metrics_fn: Callable[[Dict[str, Any], int], Dict[str, Any]],
+             val_feed, n_batches: int) -> Dict[str, float]:
+    """Average eval metrics over the FULL validation split (``n_batches``
+    batches pulled from ``val_feed``) — the reference iterates the entire
+    val loader and averages (antibody_train.py:179-307,
+    nanofinetune.py:202-335); single-batch validation makes best-checkpoint
+    selection noise-driven.
+
+    ``step_metrics_fn(batch, j) -> metrics`` runs the jitted eval step on one
+    batch (j = batch index, for rng folding).
+    """
+    sums: Dict[str, float] = {}
+    for j in range(n_batches):
+        m = step_metrics_fn(next(val_feed), j)
+        for k, v in m.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+    return {k: v / n_batches for k, v in sums.items()}
+
+
 def make_eval_step(model, loss_type: str = 'merge', l_weight: float = 1.0,
                    pair: bool = True) -> Callable:
     """Validation step: deterministic forward, same losses, no update."""

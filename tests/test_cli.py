@@ -56,6 +56,21 @@ def test_humanize_nano_from_pretrain_ckpt(pretrain_ckpt, tmp_path):
         assert 90 < len(seq) < 152 and seq.isalpha()
 
 
+def test_humanize_sample_number_retry(pretrain_ckpt, tmp_path):
+    """--sample-number 4 with batch 2 must resample until it has 4 UNIQUE
+    candidates (reference resamples to N distinct, sample.py:181-217)."""
+    out = str(tmp_path / 'hum_n4')
+    H.main(['nano', '--ckpt', pretrain_ckpt, '--vhh-seq', VHH,
+            '--batch-size', '2', '--sample-number', '4',
+            '--no-similarity-search', '--logdir', out])
+    csvs = glob.glob(os.path.join(out, '*', 'sample_humanization_result.csv'))
+    assert csvs
+    hum = [r.split(',')[2] for r in _read_rows(csvs[0])
+           if r.startswith('humanization,')]
+    assert len(hum) == 4, f'expected 4 candidates, got {len(hum)}'
+    assert len(set(hum)) == 4, 'candidates are not unique'
+
+
 def test_finetune_then_humanize(pretrain_ckpt, tmp_path):
     ft_logs = str(tmp_path / 'ft_logs')
     FT_CLI.main(['nano', '--config',

@@ -1,0 +1,155 @@
+"""eval_ab pairing correctness: samples pair to parental/experimental rows
+BY NAME, so shuffled row order, multiple samples per antibody, and skipped
+antibodies cannot misalign the metrics (the reference pairs by row index,
+patent_eval.py:288-300, which the sample CSV's name column makes exact)."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hudiff_tpu.eval import harness as H
+from hudiff_tpu.eval import metrics as M
+
+HUAB348 = ('/root/reference/data/antibody_eval_data/HuAb348_data/'
+           'humanization_pair_data_filter.csv')
+
+
+def test_parental_key():
+    assert H._parental_key('3A3human_sample') == '3A3'
+    assert H._parental_key('plain') == 'plain'
+
+
+def test_exp_by_mouse_name_uses_order_name():
+    mouse = pd.DataFrame({'type': ['mouse'] * 2, 'name': ['A', 'B'],
+                          'order_name': ['0_mouse', '1_mouse'],
+                          'h_seq': ['MH_A', 'MH_B'],
+                          'l_seq': ['ML_A', 'ML_B']})
+    # experimental rows in REVERSED order with different names
+    exp = pd.DataFrame({'type': ['humanized'] * 2, 'name': ['hB-1', 'hA-9'],
+                        'order_name': ['1_humanized', '0_humanized'],
+                        'h_seq': ['EH_B', 'EH_A'],
+                        'l_seq': ['EL_B', 'EL_A']})
+    out = H._exp_by_mouse_name(mouse, exp)
+    assert out['A'] == ('EH_A', 'EL_A')
+    assert out['B'] == ('EH_B', 'EL_B')
+
+
+@pytest.mark.skipif(not os.path.exists(HUAB348),
+                    reason='reference eval data not mounted')
+def test_eval_ab_name_pairing_multi_sample(tmp_path):
+    """3 antibodies x 2 samples each, rows shuffled, one unknown name:
+    every aggregate must equal the independently computed per-name value."""
+    ref = pd.read_csv(HUAB348)
+    mouse = ref[ref['type'] == 'mouse'].reset_index(drop=True)
+    exp = ref[ref['type'] == 'humanized'].reset_index(drop=True)
+    exp_by_name = H._exp_by_mouse_name(mouse, exp)
+
+    # pick the first 3 mouse antibodies that have experimental partners and
+    # whose chains align on our grids
+    chosen = []
+    for _, r in mouse.iterrows():
+        name = str(r['name'])
+        if name not in exp_by_name:
+            continue
+        if H._grid_pair(r['h_seq'], r['l_seq']) is None:
+            continue
+        if H._grid_pair(*exp_by_name[name]) is None:
+            continue
+        chosen.append((name, (r['h_seq'], r['l_seq']), exp_by_name[name]))
+        if len(chosen) == 3:
+            break
+    assert len(chosen) == 3
+    (na, ma, ea), (nb, mb, eb), (nc, mc, ec) = chosen
+
+    # sample rows: A -> 2 copies of its mouse (preservation exactly 1);
+    # B -> 2 copies of its experimental humanized (mutation precision 1);
+    # C -> one of each; plus one row with an unknown parental name.
+    rows = [
+        ('humanization', f'{nc}human_sample', *ec),
+        ('humanization', f'{na}human_sample', *ma),
+        ('humanization', f'{nb}human_sample', *eb),
+        ('humanization', 'ZZZUNKNOWNhuman_sample', *ma),
+        ('humanization', f'{na}human_sample', *ma),
+        ('humanization', f'{nc}human_sample', *mc),
+        ('humanization', f'{nb}human_sample', *eb),
+    ]
+    sample_csv = tmp_path / 'sample_humanization_result.csv'
+    pd.DataFrame(rows, columns=['Specific', 'name', 'hseq', 'lseq']).to_csv(
+        sample_csv, index=False)
+
+    report = H.eval_ab(str(sample_csv), HUAB348)
+    assert report['n_samples'] == 7
+    assert report['n_matched'] == 6
+    assert report['n_skipped_unmatched'] == 1
+
+    # expected preservation, computed independently per name
+    def pres_h(s_pair, m_pair):
+        return M.all_preservation(M.GridChain(s_pair[0], True, 'H'),
+                                  M.GridChain(m_pair[0], True, 'H'))
+
+    expected_h = np.mean([pres_h(ec, mc), pres_h(ma, ma), pres_h(eb, mb),
+                          pres_h(ma, ma), pres_h(mc, mc), pres_h(eb, mb)])
+    assert report['preservation_all_h'] == pytest.approx(expected_h, abs=1e-9)
+    # mouse-copy rows preserve exactly; exp-copy rows strictly less
+    assert pres_h(ma, ma) == 1.0
+    assert pres_h(eb, mb) < 1.0
+
+    # mutation precision: defined only on rows that mutate something
+    # (mouse copies yield None and are excluded); exp copies give exactly 1
+    assert report['fr_mutation_precision_h'] == pytest.approx(1.0)
+    assert report['vernier_mutation_precision_h'] in (None, pytest.approx(1.0))
+
+    # experimental context aggregates exist
+    assert 0.0 < report['exp_preservation_all_h'] < 1.0
+
+
+@pytest.mark.skipif(not os.path.exists(HUAB348),
+                    reason='reference eval data not mounted')
+def test_eval_ab_order_independence(tmp_path):
+    """Shuffling sample rows must not change any metric."""
+    ref = pd.read_csv(HUAB348)
+    mouse = ref[ref['type'] == 'mouse'].reset_index(drop=True)
+    exp_by_name = H._exp_by_mouse_name(mouse,
+                                       ref[ref['type'] == 'humanized'])
+    rows = []
+    for _, r in mouse.head(4).iterrows():
+        name = str(r['name'])
+        if name in exp_by_name:
+            rows.append(('humanization', f'{name}human_sample',
+                         *exp_by_name[name]))
+    assert len(rows) >= 3
+    a = tmp_path / 'a.csv'
+    b = tmp_path / 'b.csv'
+    cols = ['Specific', 'name', 'hseq', 'lseq']
+    pd.DataFrame(rows, columns=cols).to_csv(a, index=False)
+    pd.DataFrame(rows[::-1], columns=cols).to_csv(b, index=False)
+    ra = H.eval_ab(str(a), HUAB348)
+    rb = H.eval_ab(str(b), HUAB348)
+    for k in ('preservation_all_h', 'preservation_all_l',
+              'fr_mutation_precision_h', 'vernier_mutation_precision_l',
+              'consensus_fr_identity_h'):
+        if ra[k] is None:
+            assert rb[k] is None, k
+        else:  # approx: summation order differs at float epsilon
+            assert ra[k] == pytest.approx(rb[k], abs=1e-12), k
+
+
+def test_eval_nano_name_pairing(tmp_path):
+    vhh = ('QVQLVESGGGLVQAGGSLRLSCAASGRTFSSYAMGWFRQAPGKEREFVAAISWSGGSTYYADS'
+           'VKGRFTISRDNAKNTVYLQMNSLKPEDTAVYYCAADRGSYYYTRNQYDYWGQGTQVTVSS')
+    rows = [
+        ('camel', 'v0', vhh),
+        ('camel', 'v1', vhh[:50] + 'A' + vhh[51:]),
+        ('humanization', 'v1human_sample', vhh[:50] + 'A' + vhh[51:]),
+        ('humanization', 'v0human_sample', vhh),
+        ('humanization', 'ghosthuman_sample', vhh),
+    ]
+    path = tmp_path / 's.csv'
+    pd.DataFrame(rows, columns=['Specific', 'name', 'vhh_seq']).to_csv(
+        path, index=False)
+    report = H.eval_nano(str(path))
+    assert report['n_samples'] == 3
+    assert report['n_matched'] == 2
+    # both matched rows are exact copies of their own parental
+    assert report['preservation_all'] == pytest.approx(1.0)
