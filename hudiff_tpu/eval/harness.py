@@ -120,6 +120,8 @@ def eval_ab(sample_csv: str, pair_csv: str, out_path: Optional[str] = None,
     vr_prec = {'h': [], 'l': []}
     cons_h: List[float] = []
     cons_l: List[float] = []
+    germ_h: List[float] = []
+    germ_l: List[float] = []
     triples: List[Tuple[str, Tuple[str, str], Tuple[str, str]]] = []
 
     for _, row in human.iterrows():
@@ -144,6 +146,8 @@ def eval_ab(sample_csv: str, pair_csv: str, out_path: Optional[str] = None,
             M.vernier_preservation(sample_grids[1], mouse_grids[1]))
         cons_h.append(M.consensus_identity(sample_grids[0]))
         cons_l.append(M.consensus_identity(sample_grids[1]))
+        germ_h.append(M.germline_identity(sample_grids[0]))
+        germ_l.append(M.germline_identity(sample_grids[1]))
         if key in exp_by_name:
             e_h, e_l = exp_by_name[key]
             exp_grids = _grid_pair(e_h, e_l)
@@ -179,6 +183,8 @@ def eval_ab(sample_csv: str, pair_csv: str, out_path: Optional[str] = None,
         'vernier_mutation_precision_l': _mean(vr_prec['l']),
         'consensus_fr_identity_h': _mean(cons_h),
         'consensus_fr_identity_l': _mean(cons_l),
+        'germline_fr_identity_h': _mean(germ_h),
+        'germline_fr_identity_l': _mean(germ_l),
     })
 
     # experimental-vs-mouse context aggregates (the reference logs these
@@ -368,12 +374,15 @@ def eval_nano(sample_csv: str, abnativ_vh: Optional[str] = None,
     report['preservation_all'] = _mean(pres)
 
     cons = []
+    germ = []
     for s in seqs:
         try:
             cons.append(M.consensus_identity(M.GridChain(s, True, 'H')))
+            germ.append(M.germline_identity(M.GridChain(s, True, 'H')))
         except ValueError:
             continue
     report['consensus_fr_identity'] = _mean(cons)
+    report['germline_fr_identity'] = _mean(germ)
 
     if abnativ_vh:
         vh = abnativ_scores_local(seqs, 'VH', abnativ_vh)

@@ -165,3 +165,73 @@ def group_mutation_precision(exp_pairs, mouse_pairs, sample_pairs,
         if cl is not None:
             out['l'].append(cl)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Germline-graft metrics (patent_eval.py:203-213; utils/evaluation.py:349-381)
+# ---------------------------------------------------------------------------
+
+def _chain_group(chain: GridChain) -> str:
+    if chain.heavy:
+        return 'H'
+    group, _, _ = AL.detect_chain_type(chain.seq)
+    return 'K' if group in ('H', 'VHH') else group
+
+
+def germline_graft(chain: GridChain, backmutate_vernier: bool = False):
+    """Nearest-germline CDR graft of this chain
+    (abnumber graft_cdrs_onto_human_germline equivalent; see
+    numbering/germline.py for the embedded library)."""
+    from ..numbering import germline as G
+    return G.graft_cdrs(chain.grid, _chain_group(chain),
+                        backmutate_vernier=backmutate_vernier)
+
+
+def germline_identity(chain: GridChain) -> float:
+    """FR identity between a chain and its own germline graft
+    (cal_group_fr_germline_identity, patent_eval.py:203-213)."""
+    g = germline_graft(chain)['grid']
+    fr = ~chain.imgt_cdr
+    occ = fr & ((chain.grid != '-') | (g != '-'))
+    if occ.sum() == 0:
+        return 0.0
+    return float((chain.grid[occ] == g[occ]).mean())
+
+
+def annotate_conservation(parental: str, pred: str, germline: str) -> str:
+    """Per-position conservation category
+    (utils/evaluation.py annotate_conservation, :349-357)."""
+    if parental == pred:
+        if parental == germline:
+            return 'Conserved'
+        return 'Back-mutated'
+    if pred == germline:
+        return 'Humanized'
+    return 'Engineered'
+
+
+def collect_positions(parental: GridChain, pred: GridChain,
+                      name: str = '') -> List[Dict]:
+    """Position-level conservation table vs the parental chain's germline
+    graft (utils/evaluation.py collect_position(s), :360-381)."""
+    germ = germline_graft(parental)['grid']
+    positions = C.HEAVY_POSITIONS if parental.heavy else C.LIGHT_POSITIONS
+    region_idx = (C.HEAVY_REGION_INDEX if parental.heavy
+                  else C.LIGHT_REGION_INDEX)
+    region_names = ('FR1', 'CDR1', 'FR2', 'CDR2', 'FR3', 'CDR3', 'FR4')
+    occ = parental.occupied() | pred.occupied() | (germ != '-')
+    rows = []
+    for i in np.nonzero(occ)[0]:
+        rows.append({
+            'name': name,
+            'pos': positions[i],
+            'chain': 'Heavy' if parental.heavy else 'Light',
+            'region': region_names[region_idx[i]],
+            'in_vernier': bool(parental.vernier[i]),
+            'parental': parental.grid[i],
+            'predicted': pred.grid[i],
+            'germline': germ[i],
+            'conservation': annotate_conservation(
+                parental.grid[i], pred.grid[i], germ[i]),
+        })
+    return rows

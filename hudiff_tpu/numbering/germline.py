@@ -1,0 +1,245 @@
+"""Human germline V/J library + CDR grafting.
+
+Rebuilds abnumber's ``Chain.graft_cdrs_onto_human_germline`` surface
+(used by the reference at antibody_scripts/sample.py:209-227, :370-376 and
+for the germline-identity metric at patent_eval.py:203-213) without the
+abnumber/ANARCI dependency: germline sequences are embedded as data and the
+graft operates directly on the fixed IMGT grids.
+
+The library is a curated subset of the IMGT human germline repertoire — the
+common humanization acceptor frameworks (the genes that dominate human
+repertoires and clinical humanized antibodies) rather than abnumber's full
+several-hundred-gene database. Germline amino-acid sequences are public
+scientific constants (IMGT/GENE-DB); nearest-germline selection over this
+subset yields slightly conservative identity numbers vs the full repertoire,
+which is documented behavior.
+
+V genes cover FR1..FR3 plus the germline-encoded start of CDR3; J genes
+contribute FR4 (IMGT 118-128 heavy / 118-127 light).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .. import constants as C
+
+# ---------------------------------------------------------------------------
+# Curated germline library (IMGT/GENE-DB amino-acid translations)
+# ---------------------------------------------------------------------------
+
+GERMLINE_V_HEAVY: Dict[str, str] = {
+    'IGHV1-2*02': ('QVQLVQSGAEVKKPGASVKVSCKASGYTFTGYYMHWVRQAPGQGLEWMGWINPN'
+                   'SGGTNYAQKFQGRVTMTRDTSISTAYMELSRLRSDDTAVYYCAR'),
+    'IGHV1-46*01': ('QVQLVQSGAEVKKPGASVKVSCKASGYTFTSYYMHWVRQAPGQGLEWMGIINP'
+                    'SGGSTSYAQKFQGRVTMTRDTSTSTVYMELSSLRSEDTAVYYCAR'),
+    'IGHV1-69*01': ('QVQLVQSGAEVKKPGSSVKVSCKASGGTFSSYAISWVRQAPGQGLEWMGGIIP'
+                    'IFGTANYAQKFQGRVTITADESTSTAYMELSSLRSEDTAVYYCAR'),
+    'IGHV3-7*01': ('EVQLVESGGGLVQPGGSLRLSCAASGFTFSSYWMSWVRQAPGKGLEWVANIKQD'
+                   'GSEKYYVDSVKGRFTISRDNAKNSLYLQMNSLRAEDTAVYYCAR'),
+    'IGHV3-23*01': ('EVQLLESGGGLVQPGGSLRLSCAASGFTFSSYAMSWVRQAPGKGLEWVSAISG'
+                    'SGGSTYYADSVKGRFTISRDNSKNTLYLQMNSLRAEDTAVYYCAK'),
+    'IGHV3-30*01': ('QVQLVESGGGVVQPGRSLRLSCAASGFTFSSYAMHWVRQAPGKGLEWVAVISY'
+                    'DGSNKYYADSVKGRFTISRDNSKNTLYLQMNSLRAEDTAVYYCAR'),
+    'IGHV4-34*01': ('QVQLQQWGAGLLKPSETLSLTCAVYGGSFSGYYWSWIRQPPGKGLEWIGEINH'
+                    'SGSTNYNPSLKSRVTISVDTSKNQFSLKLSSVTAADTAVYYCAR'),
+    'IGHV4-59*01': ('QVQLQESGPGLVKPSETLSLTCTVSGGSISSYYWSWIRQPPGKGLEWIGYIYY'
+                    'SGSTNYNPSLKSRVTISVDTSKNQFSLKLSSVTAADTAVYYCAR'),
+    'IGHV5-51*01': ('EVQLVQSGAEVKKPGESLKISCKGSGYSFTSYWIGWVRQMPGKGLEWMGIIYP'
+                    'GDSDTRYSPSFQGQVTISADKSISTAYLQWSSLKASDTAMYYCAR'),
+}
+
+GERMLINE_V_KAPPA: Dict[str, str] = {
+    'IGKV1-33*01': ('DIQMTQSPSSLSASVGDRVTITCQASQDISNYLNWYQQKPGKAPKLLIYDASN'
+                    'LETGVPSRFSGSGSGTDFTFTISSLQPEDIATYYCQQYDNLP'),
+    'IGKV1-39*01': ('DIQMTQSPSSLSASVGDRVTITCRASQSISSYLNWYQQKPGKAPKLLIYAASS'
+                    'LQSGVPSRFSGSGSGTDFTLTISSLQPEDFATYYCQQSYSTP'),
+    'IGKV2-28*01': ('DIVMTQSPLSLPVTPGEPASISCRSSQSLLHSNGYNYLDWYLQKPGQSPQLLI'
+                    'YLGSNRASGVPDRFSGSGSGTDFTLKISRVEAEDVGVYYCMQALQTP'),
+    'IGKV3-11*01': ('EIVLTQSPATLSLSPGERATLSCRASQSVSSYLAWYQQKPGQAPRLLIYDASN'
+                    'RATGIPARFSGSGSGTDFTLTISSLEPEDFAVYYCQQRSNWP'),
+    'IGKV3-20*01': ('EIVLTQSPGTLSLSPGERATLSCRASQSVSSSYLAWYQQKPGQAPRLLIYGAS'
+                    'SRATGIPDRFSGSGSGTDFTLTISRLEPEDFAVYYCQQYGSSP'),
+    'IGKV4-1*01': ('DIVMTQSPDSLAVSLGERATINCKSSQSVLYSSNNKNYLAWYQQKPGQPPKLLI'
+                   'YWASTRESGVPDRFSGSGSGTDFTLTISSLQAEDVAVYYCQQYYSTP'),
+}
+
+GERMLINE_V_LAMBDA: Dict[str, str] = {
+    'IGLV1-40*01': ('QSVLTQPPSVSGAPGQRVTISCTGSSSNIGAGYDVHWYQQLPGTAPKLLIYGN'
+                    'SNRPSGVPDRFSGSKSGTSASLAITGLQAEDEADYYCQSYDSSLSG'),
+    'IGLV1-44*01': ('QSVLTQPPSASGTPGQRVTISCSGSSSNIGSNTVNWYQQLPGTAPKLLIYSNN'
+                    'QRPSGVPDRFSGSKSGTSASLAISGLQSEDEADYYCAAWDDSLNG'),
+    'IGLV2-14*01': ('QSALTQPASVSGSPGQSITISCTGTSSDVGGYNYVSWYQQHPGKAPKLMIYDV'
+                    'SNRPSGVSNRFSGSKSGNTASLTISGLQAEDEADYYCSSYTSSSTL'),
+    'IGLV3-21*01': ('SYVLTQPPSVSVAPGQTARITCGGNNIGSKSVHWYQQKPGQAPVLVVYDDSDR'
+                    'PSGIPERFSGSNSGNTATLTISRVEAGDEADYYCQVWDSSSDH'),
+    'IGLV6-57*01': ('NFMLTQPHSVSESPGKTVTISCTRSSGSIASNYVQWYQQRPGSSPTTVIYEDN'
+                    'QRPSGVPDRFSGSIDSSSNSASLTISGLKTEDEADYYCQSYDSSN'),
+}
+
+# J-gene FR4 contributions: heavy = IMGT 118-128 (11 residues),
+# light = IMGT 118-127 (10 residues).
+GERMLINE_J_HEAVY: Dict[str, str] = {
+    'IGHJ4*01': 'WGQGTLVTVSS',
+    'IGHJ6*01': 'WGQGTTVTVSS',
+}
+GERMLINE_J_KAPPA: Dict[str, str] = {
+    'IGKJ1*01': 'FGQGTKVEIK',
+    'IGKJ2*01': 'FGQGTKLEIK',
+    'IGKJ4*01': 'FGGGTKVEIK',
+}
+GERMLINE_J_LAMBDA: Dict[str, str] = {
+    'IGLJ1*01': 'FGTGTKVTVL',
+    'IGLJ2*01': 'FGGGTKLTVL',
+}
+
+_V_BY_GROUP = {'H': GERMLINE_V_HEAVY, 'K': GERMLINE_V_KAPPA,
+               'L': GERMLINE_V_LAMBDA}
+_J_BY_GROUP = {'H': GERMLINE_J_HEAVY, 'K': GERMLINE_J_KAPPA,
+               'L': GERMLINE_J_LAMBDA}
+
+_FR4_LEN = {'H': 11, 'K': 10, 'L': 10}
+
+# gridded germline cache: group -> {name: np.ndarray of grid chars}
+_GRID_CACHE: Dict[str, Dict[str, np.ndarray]] = {}
+
+
+def _gridded_library(group: str) -> Dict[str, np.ndarray]:
+    """Place every germline V of a group on its fixed IMGT grid (cached)."""
+    if group in _GRID_CACHE:
+        return _GRID_CACHE[group]
+    from . import imgt as IMGT
+    heavy = group == 'H'
+    out = {}
+    for name, seq in _V_BY_GROUP[group].items():
+        placed = IMGT.grid_string(seq, heavy=heavy, chain_hint=group)
+        if placed is None:  # pragma: no cover - library members must align
+            continue
+        out[name] = np.asarray(list(placed['grid']))
+    _GRID_CACHE[group] = out
+    return out
+
+
+def _cdr_mask(heavy: bool) -> np.ndarray:
+    return (C.HEAVY_CDR_INDEX if heavy else C.LIGHT_CDR_INDEX) != 0
+
+
+def _vernier_mask(heavy: bool) -> np.ndarray:
+    tab = C.HEAVY_CDR_KABAT_VERNIER if heavy else C.LIGHT_CDR_KABAT_VERNIER
+    return np.asarray(tab) == 5
+
+
+def nearest_v(grid: np.ndarray, group: str) -> Tuple[str, np.ndarray]:
+    """Nearest germline V gene by framework identity on the IMGT grid
+    (abnumber picks its graft donor the same way: highest-identity human
+    germline)."""
+    heavy = group == 'H'
+    fr = ~_cdr_mask(heavy)
+    fr4 = np.zeros_like(fr)
+    fr4[-_FR4_LEN[group]:] = True
+    fr_v = fr & ~fr4  # V gene covers FR1-FR3 only
+    best_name, best_grid, best_score = None, None, -1.0
+    for name, g in _gridded_library(group).items():
+        occ = fr_v & ((grid != '-') | (g != '-'))
+        if occ.sum() == 0:
+            continue
+        score = float((grid[occ] == g[occ]).mean())
+        if score > best_score:
+            best_name, best_grid, best_score = name, g, score
+    if best_name is None:
+        raise ValueError(f'no germline aligned for group {group}')
+    return best_name, best_grid
+
+
+def nearest_j(grid: np.ndarray, group: str) -> Tuple[str, str]:
+    """Nearest germline J gene by FR4 identity."""
+    n = _FR4_LEN[group]
+    tail = grid[-n:]
+    best_name, best_fr4, best_score = None, None, -1.0
+    for name, fr4 in _J_BY_GROUP[group].items():
+        score = float((tail == np.asarray(list(fr4))).mean())
+        if score > best_score:
+            best_name, best_fr4, best_score = name, fr4, score
+    return best_name, best_fr4
+
+
+def graft_cdrs(grid: np.ndarray, group: str,
+               backmutate_vernier: bool = False
+               ) -> Dict[str, object]:
+    """CDR-graft a parental chain onto its nearest human germline.
+
+    Equivalent of abnumber's ``Chain.graft_cdrs_onto_human_germline(
+    backmutate_vernier=...)`` (reference sample.py:216, :374-375) on the
+    fixed IMGT grid: germline FR1-FR3 + J-gene FR4 as acceptor, parental
+    CDRs (and optionally parental vernier-zone residues) as donor.
+
+    Returns {'grid', 'v_gene', 'j_gene'}; 'grid' is a char array with '-'
+    at unoccupied slots.
+    """
+    grid = np.asarray(grid)
+    heavy = group == 'H'
+    v_name, v_grid = nearest_v(grid, group)
+    j_name, j_fr4 = nearest_j(grid, group)
+    cdr = _cdr_mask(heavy)
+    out = v_grid.copy()
+    out[cdr] = grid[cdr]
+    n = _FR4_LEN[group]
+    out[-n:] = list(j_fr4)
+    if backmutate_vernier:
+        vern = _vernier_mask(heavy) & (grid != '-')
+        out[vern] = grid[vern]
+    return {'grid': out, 'v_gene': v_name, 'j_gene': j_name}
+
+
+def graft_seq(seq: str, group: Optional[str] = None,
+              backmutate_vernier: bool = False) -> Dict[str, object]:
+    """Sequence-level graft: align, graft, return the grafted sequence and
+    the FR slots where the parental residue already equals the graft
+    (the 'identity positions' the reference inpaint init keeps fixed,
+    sample.py:217-226)."""
+    from . import align as AL
+    from . import imgt as IMGT
+    if group is None:
+        group, _, _ = AL.detect_chain_type(seq)
+        if group == 'VHH':
+            group = 'H'
+    heavy = group == 'H'
+    placed = IMGT.grid_string(seq, heavy=heavy, chain_hint=group)
+    if placed is None:
+        raise ValueError(f'unalignable chain: {seq[:20]}...')
+    par = np.asarray(list(placed['grid']))
+    res = graft_cdrs(par, group, backmutate_vernier=backmutate_vernier)
+    g = res['grid']
+    identity = (par == g) & (par != '-')
+    return {'grid': g, 'seq': ''.join(g[g != '-']),
+            'parental_grid': par, 'identity_slots': identity,
+            'v_gene': res['v_gene'], 'j_gene': res['j_gene']}
+
+
+def germline_fr_identity(seq: str, group: Optional[str] = None) -> float:
+    """FR identity between a chain and its own germline graft
+    (patent_eval.cal_group_fr_germline_identity, :203-213: chain vs
+    graft_cdrs_onto_human_germline under cal_fr_preservation)."""
+    res = graft_seq(seq, group)
+    par, g = res['parental_grid'], res['grid']
+    heavy = (group or ('H' if len(par) == C.HEAVY_LEN else 'K')) == 'H'
+    fr = ~_cdr_mask(len(par) == C.HEAVY_LEN)
+    del heavy
+    occ = fr & ((par != '-') | (g != '-'))
+    if occ.sum() == 0:
+        return 0.0
+    return float((par[occ] == g[occ]).mean())
+
+
+def cdr_pair_grafting(h_seq: str, l_seq: str, back_mutation: bool = False
+                      ) -> Tuple[str, str]:
+    """Classic CDR-graft baseline for a pair (reference cdr_pair_grafting,
+    sample.py:370-376)."""
+    from . import align as AL
+    h = graft_seq(h_seq, 'H', backmutate_vernier=back_mutation)
+    l_group, _, _ = AL.detect_chain_type(l_seq)
+    if l_group in ('H', 'VHH'):
+        l_group = 'K'
+    l = graft_seq(l_seq, l_group, backmutate_vernier=back_mutation)
+    return h['seq'], l['seq']

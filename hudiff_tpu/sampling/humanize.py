@@ -86,17 +86,16 @@ def pair_input(h_seq: str, l_seq: str, finetune: bool = False
 def pair_inpaint_input(h_seq: str, l_seq: str
                        ) -> Optional[Dict[str, np.ndarray]]:
     """Germline-graft inpainting init (reference batch_inpaint_input_element,
-    sample.py:286-310): start from a CDR-grafted template and only resample
-    framework slots where the template residue differs from the parental one.
-
-    Without a germline database the chain-type consensus acts as the graft
-    template (abnumber's graft_cdrs_onto_human_germline equivalent)."""
-    from ..eval.metrics import GridChain
+    sample.py:286-310): graft the parental CDRs onto the nearest human
+    germline (numbering/germline.py), freeze the framework slots where the
+    parental residue already equals the germline, and resample every other
+    framework slot. Falls back to the chain-type consensus as the template
+    when the germline graft is unavailable for a chain."""
+    from ..eval.metrics import GridChain, germline_graft
     from ..numbering import consensus as CONS
     base = pair_input(h_seq, l_seq, finetune=False)
     if base is None:
         return None
-    # consensus templates on the same grids
     try:
         h_par = GridChain(h_seq, True, 'H')
         l_group, _, _ = AL.detect_chain_type(l_seq)
@@ -106,11 +105,11 @@ def pair_inpaint_input(h_seq: str, l_seq: str
     except ValueError:
         return None
 
-    def template_identity(par: GridChain, profile: str) -> np.ndarray:
-        """Grid slots where the parental residue equals the consensus
-        template residue at the same AHo column (both AHo-aligned, so
-        columns correspond; the k-th residue of the AHo alignment occupies
-        the k-th occupied grid slot)."""
+    def consensus_identity_slots(par: GridChain, profile: str) -> np.ndarray:
+        """Fallback template: grid slots where the parental residue equals
+        the chain-type consensus at the same AHo column (both AHo-aligned,
+        so columns correspond; the k-th residue of the AHo alignment
+        occupies the k-th occupied grid slot)."""
         par_aho = np.asarray(list(par.aho))
         cons_arr = np.asarray(list(CONS.CONSENSUS[profile][0]))
         identity_aho = par_aho == cons_arr
@@ -121,15 +120,26 @@ def pair_inpaint_input(h_seq: str, l_seq: str
         ident_grid[occ_slots[:n]] = identity_aho[res_cols[:n]]
         return ident_grid
 
+    def identity_slots(par: GridChain, profile: str) -> np.ndarray:
+        """Frozen slots: parental residue equals its germline graft
+        (reference graft_chain identity_pos_list, sample.py:217-226)."""
+        try:
+            g = germline_graft(par)['grid']
+        except ValueError:
+            return consensus_identity_slots(par, profile)
+        return (par.grid == g) & (par.grid != '-')
+
     # template profile must match the group the grid was aligned with —
     # the raw detected profile can be 'H'/'VHH' for a mis-detected light
     # chain, which would compare a kappa alignment to the heavy consensus
-    identity = np.concatenate([template_identity(h_par, 'H'),
-                               template_identity(l_par, l_group)])
+    identity = np.concatenate([identity_slots(h_par, 'H'),
+                               identity_slots(l_par, l_group)])
 
     cdr = np.concatenate([C.HEAVY_CDR_INDEX, C.LIGHT_CDR_INDEX])
-    # resample only framework slots NOT identical to the template
-    mask = (cdr == 0) & ~identity & (base['clean'] != C.IDX_PAD)
+    # resample every framework slot not frozen by template identity —
+    # including unoccupied insertion slots, exactly like the reference mask
+    # (h_l_mask = CDR_INDEX==0 & init==pad, sample.py:293-300)
+    mask = (cdr == 0) & ~identity
     positions = np.nonzero(mask)[0].astype(np.int32)
     src = base['clean'].copy()
     src[mask] = C.IDX_MSK

@@ -1,0 +1,116 @@
+"""Germline library + CDR grafting (reference abnumber
+graft_cdrs_onto_human_germline surface: sample.py:209-227, :370-376,
+patent_eval.py:203-213)."""
+import numpy as np
+import pytest
+
+from hudiff_tpu import constants as C
+from hudiff_tpu.eval import metrics as M
+from hudiff_tpu.numbering import germline as G
+
+MOUSE_H = ('QVQLQQPGAELVKPGASVKLSCKASGYTFTSYWMHWVKQRPGQGLEWIGEINPSNGRTNY'
+           'NEKFKSKATLTVDKSSSTAYMQLSSLTSEDSAVYYCARGGYYFDYWGQGTTLTVSS')
+MOUSE_L = ('DIVMTQSQKFMSTSVGDRVSVTCKASQNVGTNVAWYQQKPGQSPKALIYSASYRYSGVPD'
+           'RFTGSGSGTDFTLTISNVQSEDLAEYFCQQYNSYPLTFGAGTKLELK')
+
+
+def test_library_members_align():
+    for grp in ('H', 'K', 'L'):
+        lib = G._gridded_library(grp)
+        assert len(lib) == len(G._V_BY_GROUP[grp]), grp
+        for name, grid in lib.items():
+            assert (grid != '-').sum() > 80, name
+
+
+def test_graft_preserves_cdrs():
+    res = G.graft_seq(MOUSE_H, 'H')
+    par = res['parental_grid']
+    g = res['grid']
+    cdr = C.HEAVY_CDR_INDEX != 0
+    assert (g[cdr] == par[cdr]).all()
+
+
+def test_graft_fr_is_pure_germline():
+    """A graft re-grafted has FR identity 1.0 — its frameworks ARE germline."""
+    res = G.graft_seq(MOUSE_H, 'H')
+    assert G.germline_fr_identity(res['seq'], 'H') == pytest.approx(1.0)
+
+
+def test_graft_raises_mouse_identity():
+    """Grafting must strictly increase germline FR identity for a mouse
+    chain (the whole point of CDR grafting)."""
+    before = G.germline_fr_identity(MOUSE_H, 'H')
+    res = G.graft_seq(MOUSE_H, 'H')
+    after = G.germline_fr_identity(res['seq'], 'H')
+    assert after > before
+    assert before < 0.9  # mouse frameworks are far from human germline
+
+
+def test_backmutate_vernier_keeps_parental_vernier():
+    res = G.graft_seq(MOUSE_H, 'H', backmutate_vernier=True)
+    par, g = res['parental_grid'], res['grid']
+    vern = (np.asarray(C.HEAVY_CDR_KABAT_VERNIER) == 5) & (par != '-')
+    assert (g[vern] == par[vern]).all()
+
+
+def test_human_germline_self_identity():
+    """A germline sequence's own FR identity is (near) 1."""
+    # V gene + tiny CDR3 stub + IGHJ4 FR4
+    seq = G.GERMLINE_V_HEAVY['IGHV3-23*01'] + 'DGYW' + 'GQGTLVTVSS'
+    ident = G.germline_fr_identity(seq, 'H')
+    assert ident > 0.97
+
+
+def test_cdr_pair_grafting():
+    h, l = G.cdr_pair_grafting(MOUSE_H, MOUSE_L)
+    assert G.germline_fr_identity(h, 'H') == pytest.approx(1.0)
+    assert G.germline_fr_identity(l) == pytest.approx(1.0)
+    # vernier backmutation keeps more mouse residues
+    h_bm, _ = G.cdr_pair_grafting(MOUSE_H, MOUSE_L, back_mutation=True)
+    assert G.germline_fr_identity(h_bm, 'H') < 1.0
+
+
+def test_metrics_germline_identity():
+    chain = M.GridChain(MOUSE_H, True, 'H')
+    v = M.germline_identity(chain)
+    assert 0.4 < v < 0.9
+    graft = M.germline_graft(chain)
+    assert 'IGHV' in graft['v_gene']
+    assert 'IGHJ' in graft['j_gene']
+
+
+def test_collect_positions_conservation():
+    parental = M.GridChain(MOUSE_H, True, 'H')
+    graft = G.graft_seq(MOUSE_H, 'H')
+    pred = M.GridChain(graft['seq'], True, 'H')
+    rows = M.collect_positions(parental, pred, name='x')
+    cats = {r['conservation'] for r in rows}
+    # a pure graft can only Conserve, Humanize, or keep germline-equal slots
+    assert 'Humanized' in cats
+    assert 'Engineered' not in cats
+    fr_rows = [r for r in rows if not r['region'].startswith('CDR')]
+    assert all(r['predicted'] == r['germline'] for r in fr_rows)
+
+
+def test_annotate_conservation_categories():
+    assert M.annotate_conservation('A', 'A', 'A') == 'Conserved'
+    assert M.annotate_conservation('A', 'A', 'G') == 'Back-mutated'
+    assert M.annotate_conservation('A', 'G', 'G') == 'Humanized'
+    assert M.annotate_conservation('A', 'S', 'G') == 'Engineered'
+
+
+def test_inpaint_input_uses_germline_identity():
+    from hudiff_tpu.sampling import humanize as H
+    out = H.pair_inpaint_input(MOUSE_H, MOUSE_L)
+    assert out is not None
+    # frozen FR slots must equal the parental residues that match germline
+    chain = M.GridChain(MOUSE_H, True, 'H')
+    g = M.germline_graft(chain)['grid']
+    identity = (chain.grid == g) & (chain.grid != '-')
+    cdr_h = C.HEAVY_CDR_INDEX != 0
+    frozen_fr = identity & ~cdr_h
+    toks = out['tokens'][:C.HEAVY_LEN]
+    assert (toks[frozen_fr] != C.IDX_MSK).all()
+    # non-identity FR slots are masked for resampling
+    resample = ~identity & ~cdr_h
+    assert (toks[resample] == C.IDX_MSK).all()
