@@ -252,8 +252,12 @@ def _maybe_mesh(shard: bool):
 
 class PairHumanizer:
     def __init__(self, model, variables, batch_size: int = 16,
-                 shuffle: bool = True, seed: int = 2023, mesh=None):
+                 shuffle: bool = True, seed: int = 2023, mesh=None,
+                 device_batch: Optional[int] = None):
         self.batch_size = batch_size
+        # packed-mode device batch: rows from MANY antibodies share one
+        # program of this size (defaults to batch_size = unpacked shape)
+        self.device_batch = device_batch or batch_size
         self.shuffle = shuffle
         self.rng = jax.random.PRNGKey(seed)
         self.run = S.make_jit_sampler(model, variables, mesh=mesh)
@@ -278,15 +282,133 @@ class PairHumanizer:
         return {'h_seqs': h_seqs, 'l_seqs': l_seqs, 'grids': out,
                 'best_idx': best, 'best': (h_seqs[best], l_seqs[best])}
 
+    def sample_rows(self, rows: List[Dict], pad_to: int) -> np.ndarray:
+        """One device call over heterogeneous packed rows.
+
+        ``rows`` may mix DIFFERENT antibodies: each row dict carries its own
+        tokens/region/chain/positions. The per-row order matrix
+        (sampler.build_order_rows) makes the single jitted scan resample the
+        right slots for each row. Short final chunks are padded by repeating
+        the last row (the extra outputs are discarded), so every call has the
+        same [B, L] shape and the program compiles once per dataset sweep.
+        """
+        n = len(rows)
+        B = self.device_batch
+        assert 0 < n <= B
+        padded = rows + [rows[-1]] * (B - n)
+        tokens = jnp.asarray(np.stack([r['tokens'] for r in padded]))
+        region = jnp.asarray(np.stack([r['region'] for r in padded]))
+        chain = jnp.asarray(np.stack([r['chain'] for r in padded]))
+        self.rng, r_ord, r_samp = jax.random.split(self.rng, 3)
+        order = S.build_order_rows([r['positions'] for r in padded],
+                                   rng=r_ord, shuffle=self.shuffle,
+                                   pad_to=pad_to)
+        out = self.run(tokens, region, chain, order, r_samp)
+        return np.asarray(out)[:n]
+
+    def humanize_many(self, inputs: List[Optional[Dict]],
+                      rows_per_input: int) -> List[Optional[Dict]]:
+        """Packed dataset-scale humanization: every antibody gets
+        ``rows_per_input`` candidate rows, and rows from many antibodies
+        share device programs of size ``batch_size``.
+
+        The reference (and the unpacked path) issues one device round per
+        antibody; at dataset scale (HuAb348: 348 antibodies) that leaves the
+        MXU idle on small batches. Packing keeps the batch axis full
+        regardless of per-antibody candidate counts.
+        """
+        stream: List[Tuple[int, Dict]] = []
+        for i, inp in enumerate(inputs):
+            if inp is None:
+                continue
+            stream.extend([(i, inp)] * rows_per_input)
+        pad_to = max((inp['pad_to'] for inp in inputs if inp is not None),
+                     default=0)
+        grids: Dict[int, List[np.ndarray]] = {}
+        B = self.device_batch
+        for s in range(0, len(stream), B):
+            chunk = stream[s: s + B]
+            out = self.sample_rows([inp for _, inp in chunk], pad_to)
+            for (i, _), row in zip(chunk, out):
+                grids.setdefault(i, []).append(row)
+        results: List[Optional[Dict]] = []
+        for i, inp in enumerate(inputs):
+            if inp is None or i not in grids:
+                results.append(None)
+                continue
+            out = np.stack(grids[i])
+            h_seqs = [_TOK.idx2seq(row[: C.HEAVY_LEN]) for row in out]
+            l_seqs = [_TOK.idx2seq(row[C.HEAVY_LEN:]) for row in out]
+            best = select_most_similar(inp['clean'], out)
+            results.append({'h_seqs': h_seqs, 'l_seqs': l_seqs, 'grids': out,
+                            'best_idx': best,
+                            'best': (h_seqs[best], l_seqs[best])})
+        return results
+
 
 class NanoHumanizer:
     def __init__(self, model, variables, batch_size: int = 16,
-                 shuffle: bool = True, seed: int = 2023, mesh=None):
+                 shuffle: bool = True, seed: int = 2023, mesh=None,
+                 device_batch: Optional[int] = None):
         self.batch_size = batch_size
+        self.device_batch = device_batch or batch_size
         self.shuffle = shuffle
         self.rng = jax.random.PRNGKey(seed)
         self.run = S.make_jit_sampler(model, variables, has_chain_type=False,
                                       mesh=mesh)
+
+    def sample_rows(self, rows: List[Dict], pad_to: int) -> np.ndarray:
+        """One device call over heterogeneous packed nanobody rows
+        (see PairHumanizer.sample_rows)."""
+        n = len(rows)
+        B = self.device_batch
+        assert 0 < n <= B
+        padded = rows + [rows[-1]] * (B - n)
+        tokens = jnp.asarray(np.stack([r['tokens'] for r in padded]))
+        region = jnp.asarray(np.stack([r['region'] for r in padded]))
+        self.rng, r_ord, r_samp = jax.random.split(self.rng, 3)
+        order = S.build_order_rows([r['positions'] for r in padded],
+                                   rng=r_ord, shuffle=self.shuffle,
+                                   pad_to=pad_to)
+        out = self.run(tokens, region, order, r_samp)
+        return np.asarray(out)[:n]
+
+    def humanize_many(self, inputs: List[Optional[Dict]],
+                      rows_per_input: int) -> List[Optional[Dict]]:
+        """Packed dataset-scale humanization with the nanobody validity
+        filter applied per antibody (reference nanosample.py:338-353)."""
+        stream: List[Tuple[int, Dict]] = []
+        for i, inp in enumerate(inputs):
+            if inp is None:
+                continue
+            stream.extend([(i, inp)] * rows_per_input)
+        pad_to = max((inp['pad_to'] for inp in inputs if inp is not None),
+                     default=0)
+        grids: Dict[int, List[np.ndarray]] = {}
+        B = self.device_batch
+        for st in range(0, len(stream), B):
+            chunk = stream[st: st + B]
+            out = self.sample_rows([inp for _, inp in chunk], pad_to)
+            for (i, _), row in zip(chunk, out):
+                grids.setdefault(i, []).append(row)
+        results: List[Optional[Dict]] = []
+        for i, inp in enumerate(inputs):
+            if inp is None or i not in grids:
+                results.append(None)
+                continue
+            out = np.stack(grids[i])
+            seqs = [_TOK.idx2seq(row) for row in out]
+            valid_ix = [k for k, sq in enumerate(seqs)
+                        if AL.align_to_aho(sq, 'H') is not None]
+            if not valid_ix:
+                results.append(None)
+                continue
+            g = out[valid_ix]
+            vseqs = [seqs[k] for k in valid_ix]
+            best = select_most_similar(inp['clean'], g)
+            results.append({'seqs': vseqs, 'grids': g, 'best_idx': best,
+                            'best': vseqs[best]})
+        return results
 
     def __call__(self, vhh_seq: str, finetune: bool = False,
                  inpaint: bool = False, max_retry: int = 3
@@ -339,7 +461,8 @@ def run_ab(args) -> str:
 
     hum = PairHumanizer(model, variables, batch_size=args.batch_size,
                         shuffle=(args.sample_order == 'shuffle'),
-                        seed=args.seed, mesh=_maybe_mesh(args.shard))
+                        seed=args.seed, mesh=_maybe_mesh(args.shard),
+                        device_batch=max(args.pack_size, args.batch_size))
 
     if args.fasta:
         # single-antibody humanization from a (complex) FASTA
@@ -353,6 +476,11 @@ def run_ab(args) -> str:
         df = pd.read_csv(args.data_fpath)
         mouse = df[df['type'] == 'mouse'] if 'type' in df.columns else df
         pairs = [(str(r.name), r.h_seq, r.l_seq) for r in mouse.itertuples()]
+
+    if len(pairs) > 1:
+        _packed_pair_loop(hum, pairs, finetune, args, logger, save_fpath)
+        logger.info('results: %s', save_fpath)
+        return save_fpath
 
     for name, h_seq, l_seq in pairs:
         with open(save_fpath, 'a', encoding='UTF-8') as f:
@@ -388,6 +516,49 @@ def run_ab(args) -> str:
     return save_fpath
 
 
+def _packed_pair_loop(hum: PairHumanizer, pairs, finetune: bool, args,
+                      logger, save_fpath: str) -> None:
+    """Dataset-scale antibody humanization: candidate rows from every
+    still-unfinished antibody are packed into shared device programs
+    (PairHumanizer.humanize_many). Per-antibody semantics are unchanged —
+    --batch-size candidates per round, unique-dedup to --sample-number,
+    --max-retry rounds — only the device utilization differs."""
+    n = len(pairs)
+    inpaint = args.sample_method == 'inpaint'
+    inputs: List[Optional[Dict]] = []
+    for _, h_seq, l_seq in pairs:
+        inputs.append(pair_inpaint_input(h_seq, l_seq) if inpaint
+                      else pair_input(h_seq, l_seq, finetune=finetune))
+    target = 1 if args.similarity_search else args.sample_number
+    unique: List[list] = [[] for _ in range(n)]
+    seen: List[set] = [set() for _ in range(n)]
+    for _ in range(args.max_retry):
+        active = [i for i in range(n)
+                  if inputs[i] is not None and len(unique[i]) < target]
+        if not active:
+            break
+        results = hum.humanize_many([inputs[i] for i in active],
+                                    rows_per_input=args.batch_size)
+        for i, res in zip(active, results):
+            if res is None:
+                continue
+            cands = ([res['best']] if args.similarity_search
+                     else list(zip(res['h_seqs'], res['l_seqs'])))
+            for cand in cands:
+                if cand not in seen[i] and len(unique[i]) < target:
+                    seen[i].add(cand)
+                    unique[i].append(cand)
+    with open(save_fpath, 'a', encoding='UTF-8') as f:
+        for i, (name, h_seq, l_seq) in enumerate(pairs):
+            if inputs[i] is None:
+                logger.warning('could not align %s; skipped', name)
+                continue
+            f.write(f'mouse,{name},{h_seq},{l_seq}\n')
+            for g_h, g_l in unique[i]:
+                f.write(f'humanization,{name}human_sample,{g_h},{g_l}\n')
+            logger.info('humanized %s (%d candidates)', name, len(unique[i]))
+
+
 def run_nano(args) -> str:
     import pandas as pd
     model, variables, finetuned = load_denoiser(args.ckpt, 'heavy',
@@ -401,7 +572,8 @@ def run_nano(args) -> str:
 
     hum = NanoHumanizer(model, variables, batch_size=args.batch_size,
                         shuffle=(args.sample_order == 'shuffle'),
-                        seed=args.seed, mesh=_maybe_mesh(args.shard))
+                        seed=args.seed, mesh=_maybe_mesh(args.shard),
+                        device_batch=max(args.pack_size, args.batch_size))
 
     if args.fasta:
         # first heavy-type record of a FASTA
@@ -415,6 +587,11 @@ def run_nano(args) -> str:
         df = pd.read_csv(args.data_fpath)
         col = 'vhhseq' if 'vhhseq' in df.columns else 'vhh_seq'
         rows = [(str(i), s) for i, s in enumerate(df[col])]
+
+    if len(rows) > 1:
+        _packed_nano_loop(hum, rows, finetune, args, logger, save_fpath)
+        logger.info('results: %s', save_fpath)
+        return save_fpath
 
     for name, seq in rows:
         with open(save_fpath, 'a', encoding='UTF-8') as f:
@@ -449,6 +626,44 @@ def run_nano(args) -> str:
     return save_fpath
 
 
+def _packed_nano_loop(hum: NanoHumanizer, rows, finetune: bool, args,
+                      logger, save_fpath: str) -> None:
+    """Dataset-scale nanobody humanization over packed device programs
+    (NanoHumanizer.humanize_many); per-antibody semantics unchanged."""
+    n = len(rows)
+    inpaint = args.sample_method == 'inpaint'
+    inputs: List[Optional[Dict]] = [
+        nano_input(seq, finetune=finetune, inpaint=inpaint)
+        for _, seq in rows]
+    target = 1 if args.similarity_search else args.sample_number
+    unique: List[list] = [[] for _ in range(n)]
+    seen: List[set] = [set() for _ in range(n)]
+    for _ in range(args.max_retry):
+        active = [i for i in range(n)
+                  if inputs[i] is not None and len(unique[i]) < target]
+        if not active:
+            break
+        results = hum.humanize_many([inputs[i] for i in active],
+                                    rows_per_input=args.batch_size)
+        for i, res in zip(active, results):
+            if res is None:
+                continue
+            cands = [res['best']] if args.similarity_search else res['seqs']
+            for cand in cands:
+                if cand not in seen[i] and len(unique[i]) < target:
+                    seen[i].add(cand)
+                    unique[i].append(cand)
+    with open(save_fpath, 'a', encoding='UTF-8') as f:
+        for i, (name, seq) in enumerate(rows):
+            if inputs[i] is None or not unique[i]:
+                logger.warning('could not align/humanize %s; skipped', name)
+                continue
+            f.write(f'camel,{name},{seq}\n')
+            for sq in unique[i]:
+                f.write(f'humanization,{name}human_sample,{sq}\n')
+            logger.info('humanized %s (%d candidates)', name, len(unique[i]))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest='cmd', required=True)
@@ -473,6 +688,11 @@ def main(argv=None):
                        action='store_false')
         q.add_argument('--logdir', default='./logs')
         q.add_argument('--fp32', action='store_true')
+        q.add_argument('--pack-size', type=int, default=256,
+                       help='device batch for dataset-mode packed sampling: '
+                            'rows from many antibodies share one program of '
+                            'this size (per-antibody candidate count stays '
+                            '--batch-size)')
         q.add_argument('--shard', action='store_true',
                        help='shard the candidate batch over all devices '
                             '(data-parallel sampling; identical results, '
@@ -484,11 +704,35 @@ def main(argv=None):
             q.add_argument('--lseq', default=None)
         else:
             q.add_argument('--vhh-seq', default=None)
+    # model-free classic CDR-graft baseline (reference cdr_pair_grafting,
+    # sample.py:370-376): germline FRs + parental CDRs, no diffusion model
+    g = sub.add_parser('graft')
+    g.add_argument('--hseq', required=True)
+    g.add_argument('--lseq', required=True)
+    g.add_argument('--back-mutation', action='store_true',
+                   help='back-mutate Kabat vernier-zone residues to parental')
+    g.add_argument('--output', default=None, help='CSV path (default stdout)')
     args = p.parse_args(argv)
+    if args.cmd == 'graft':
+        return run_graft(args)
     seed_all(args.seed)
     if args.cmd == 'ab':
         return run_ab(args)
     return run_nano(args)
+
+
+def run_graft(args):
+    from ..numbering import germline as G
+    h, l = G.cdr_pair_grafting(args.hseq, args.lseq,
+                               back_mutation=args.back_mutation)
+    line = f'Specific,name,hseq,lseq\ncdr_graft,graft_sample,{h},{l}\n'
+    if args.output:
+        with open(args.output, 'w') as f:
+            f.write(line)
+        print(args.output)
+        return args.output
+    print(line, end='')
+    return None
 
 
 if __name__ == '__main__':

@@ -153,6 +153,31 @@ def build_order(mask_positions, batch: int, rng: Optional[jax.Array] = None,
     return jnp.asarray(out)
 
 
+def build_order_rows(position_sets, rng: Optional[jax.Array] = None,
+                     shuffle: bool = True,
+                     pad_to: Optional[int] = None) -> jnp.ndarray:
+    """[B, K] orders where each row has its OWN maskable-position set.
+
+    This is what lets one device program humanize MANY different antibodies
+    at once: row b resamples exactly position_sets[b] (shuffled), padded to
+    a shared static K with -1 no-ops. Shapes stay identical across calls, so
+    the jitted scan compiles once for a whole dataset sweep.
+    """
+    import numpy as np
+    K = pad_to if pad_to is not None else max(
+        (len(p) for p in position_sets), default=0)
+    out = np.full((len(position_sets), K), -1, dtype=np.int32)
+    if shuffle:
+        entropy = (np.asarray(jax.random.key_data(rng)).ravel().tolist()
+                   if rng is not None else [0])
+        rs = np.random.Generator(np.random.PCG64(
+            np.random.SeedSequence([int(e) for e in entropy])))
+    for b, pos in enumerate(position_sets):
+        pos = np.asarray(pos, dtype=np.int32)
+        out[b, : len(pos)] = rs.permutation(pos) if shuffle else pos
+    return jnp.asarray(out)
+
+
 def sequential_reference_sampler(model, params, top: int = SAMPLE_TOP,
                                  has_chain_type: bool = True):
     """Reference-style sampler: one host-dispatched jitted forward per

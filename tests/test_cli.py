@@ -10,6 +10,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute integration runs
+
 from hudiff_tpu.sampling import humanize as H
 from hudiff_tpu.training import finetune as FT_CLI
 from hudiff_tpu.training import pretrain as PT_CLI

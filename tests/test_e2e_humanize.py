@@ -8,6 +8,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # multi-minute integration runs
+
 from hudiff_tpu import constants as C
 from hudiff_tpu.models.denoiser import (AntiTFNet, DenoiserConfig,
                                         NanoAntiTFNet, nano_config)

@@ -1,0 +1,135 @@
+"""Packed dataset-scale humanization: rows from many different antibodies
+share one device program (PairHumanizer/NanoHumanizer.humanize_many +
+sampler.build_order_rows)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hudiff_tpu import constants as C
+from hudiff_tpu.models.denoiser import (AntiTFNet, DenoiserConfig,
+                                        NanoAntiTFNet, nano_config)
+from hudiff_tpu.sampling import humanize as H
+from hudiff_tpu.sampling import sampler as S
+
+VHH1 = ('QVQLVESGGGLVQAGGSLRLSCAASGRTFSSYAMGWFRQAPGKEREFVAAISWSGGSTYY'
+        'ADSVKGRFTISRDNAKNTVYLQMNSLKPEDTAVYYCAADRGSSYYYDYWGQGTQVTVSS')
+VHH2 = ('EVQLVESGGGLVQPGGSLRLSCAASGFTFSSYAMSWVRQAPGKGLEWVSAISGSGGSTYY'
+        'ADSVKGRFTISRDNSKNTLYLQMNSLRAEDTAVYYCAKDPRGYGAYWGQGTLVTVSS')
+H1 = ('QVQLQQPGAELVKPGASVKLSCKASGYTFTSYWMHWVKQRPGQGLEWIGEINPSNGRTNY'
+      'NEKFKSKATLTVDKSSSTAYMQLSSLTSEDSAVYYCARGGYYFDYWGQGTTLTVSS')
+L1 = ('DIVMTQSQKFMSTSVGDRVSVTCKASQNVGTNVAWYQQKPGQSPKALIYSASYRYSGVPD'
+      'RFTGSGSGTDFTLTISNVQSEDLAEYFCQQYNSYPLTFGAGTKLELK')
+H2 = ('EVQLVESGGGLVQPGGSLRLSCAASGFTFSSYAMSWVRQAPGKGLEWVSAISGSGGSTYY'
+      'ADSVKGRFTISRDNSKNTLYLQMNSLRAEDTAVYYCAKDRGYYFDYWGQGTLVTVSS')
+L2 = ('EIVLTQSPGTLSLSPGERATLSCRASQSVSSSYLAWYQQKPGQAPRLLIYGASSRATGIP'
+      'DRFSGSGSGTDFTLTISRLEPEDFAVYYCQQYGSSPLTFGGGTKVEIK')
+
+
+def test_build_order_rows_per_row_positions():
+    sets = [np.array([3, 7, 11]), np.array([1, 2]), np.array([5])]
+    order = np.asarray(S.build_order_rows(sets, rng=jax.random.PRNGKey(0),
+                                          pad_to=4))
+    assert order.shape == (3, 4)
+    for row, pos in zip(order, sets):
+        got = sorted(int(v) for v in row if v >= 0)
+        assert got == sorted(int(v) for v in pos)
+        assert (row[len(pos):] == -1).all()
+
+
+def test_build_order_rows_no_shuffle():
+    sets = [np.array([9, 4, 2])]
+    order = np.asarray(S.build_order_rows(sets, shuffle=False, pad_to=3))
+    np.testing.assert_array_equal(order[0], [9, 4, 2])
+
+
+@pytest.fixture(scope='module')
+def pair_hum():
+    cfg = DenoiserConfig().test_size()
+    model = AntiTFNet(cfg)
+    tokens = jnp.zeros((1, C.PAIR_LEN), jnp.int32)
+    region = jnp.asarray(np.concatenate(
+        [C.HEAVY_REGION_INDEX, C.LIGHT_REGION_INDEX])[None])
+    chain = jnp.asarray([[0, 2]])
+    params = model.init(jax.random.PRNGKey(0), tokens, region, chain)
+    return H.PairHumanizer(model, params, batch_size=2, seed=7,
+                           device_batch=5)
+
+
+def test_packed_pair_humanize_many(pair_hum):
+    """Two different antibodies, 2 candidate rows each, device batch 5:
+    rows pack across antibodies and the final short chunk is padded."""
+    inputs = [H.pair_input(H1, L1), H.pair_input(H2, L2), None]
+    results = pair_hum.humanize_many(inputs, rows_per_input=2)
+    assert results[2] is None
+    for inp, res in zip(inputs[:2], results[:2]):
+        assert res is not None and len(res['h_seqs']) == 2
+        grids = res['grids']
+        # every masked slot filled, no <msk> left
+        assert (grids != C.IDX_MSK).all()
+        # CDRs (and everything unmasked) preserved per antibody
+        cdr = np.concatenate([C.HEAVY_CDR_INDEX, C.LIGHT_CDR_INDEX]) != 0
+        np.testing.assert_array_equal(
+            grids[:, cdr], np.broadcast_to(inp['clean'][cdr], (2, cdr.sum())))
+        assert 0 <= res['best_idx'] < 2
+
+
+def test_packed_matches_input_masks(pair_hum):
+    """Row packing must resample exactly each row's own positions: an
+    antibody's unmasked framework residues survive even when its neighbor in
+    the batch has those slots masked."""
+    a = H.pair_input(H1, L1, finetune=True)   # finetune mask: fewer slots
+    b = H.pair_input(H2, L2, finetune=False)  # pretrain mask: all FR slots
+    res = pair_hum.humanize_many([a, b], rows_per_input=1)
+    keep_a = a['tokens'] != C.IDX_MSK
+    np.testing.assert_array_equal(res[0]['grids'][0][keep_a],
+                                  a['tokens'][keep_a])
+    keep_b = b['tokens'] != C.IDX_MSK
+    np.testing.assert_array_equal(res[1]['grids'][0][keep_b],
+                                  b['tokens'][keep_b])
+
+
+def test_packed_nano_humanize_many():
+    cfg = nano_config().test_size()
+    model = NanoAntiTFNet(cfg)
+    tokens = jnp.zeros((1, C.HEAVY_LEN), jnp.int32)
+    region = jnp.asarray(C.HEAVY_REGION_INDEX)[None]
+    params = model.init(jax.random.PRNGKey(0), tokens, region)
+    hum = H.NanoHumanizer(model, params, batch_size=2, seed=3,
+                          device_batch=3)
+    inputs = [H.nano_input(VHH1), H.nano_input(VHH2)]
+    results = hum.humanize_many(inputs, rows_per_input=2)
+    got = [r for r in results if r is not None]
+    # tiny random model output may fail the validity realignment filter;
+    # the packing contract is: present results are well-formed
+    for res in got:
+        assert len(res['seqs']) >= 1
+        assert (res['grids'] != C.IDX_MSK).all()
+
+
+@pytest.mark.slow
+def test_packed_cli_pair(tmp_path):
+    """End-to-end packed CSV run through the CLI driver with a tiny model."""
+    import pandas as pd
+    from hudiff_tpu.training import checkpoints as CK
+    cfg = DenoiserConfig().test_size()
+    model = AntiTFNet(cfg)
+    tokens = jnp.zeros((1, C.PAIR_LEN), jnp.int32)
+    region = jnp.asarray(np.concatenate(
+        [C.HEAVY_REGION_INDEX, C.LIGHT_REGION_INDEX])[None])
+    chain = jnp.asarray([[0, 2]])
+    params = model.init(jax.random.PRNGKey(0), tokens, region, chain)
+    ckpt_dir = str(tmp_path / 'ckpt')
+    CK.save(ckpt_dir, 0, params, config={'model': cfg.__dict__})
+    csv = tmp_path / 'mice.csv'
+    pd.DataFrame({'name': ['abA', 'abB'], 'type': ['mouse', 'mouse'],
+                  'h_seq': [H1, H2], 'l_seq': [L1, L2]}).to_csv(csv,
+                                                                index=False)
+    out = H.main(['ab', '--ckpt', ckpt_dir, '--data-fpath', str(csv),
+                  '--batch-size', '2', '--pack-size', '4', '--fp32',
+                  '--logdir', str(tmp_path / 'logs'), '--ckpt-version',
+                  'pretrain'])
+    df = pd.read_csv(out)
+    hum_rows = df[df['Specific'] == 'humanization']
+    assert set(hum_rows['name']) == {'abAhuman_sample', 'abBhuman_sample'}
