@@ -98,7 +98,8 @@ def eval_ab(sample_csv: str, pair_csv: str, out_path: Optional[str] = None,
             parental_oasis: Optional[str] = None,
             experimental_oasis: Optional[str] = None,
             web: bool = False,
-            mouse_t20_csv: Optional[str] = None) -> Dict[str, object]:
+            mouse_t20_csv: Optional[str] = None,
+            plots_dir: Optional[str] = None) -> Dict[str, object]:
     """Score an antibody humanization run against the paired eval set
     (mouse + experimental humanized, e.g. HuAb348 / Humab25 CSVs)."""
     import pandas as pd
@@ -273,10 +274,62 @@ def eval_ab(sample_csv: str, pair_csv: str, out_path: Optional[str] = None,
         except W.WebEvalUnavailable as e:
             report['t20_error'] = str(e)
 
+    if plots_dir:
+        _write_ab_plots(plots_dir, triples, exp_by_name, pres, report)
+
     if out_path:
         with open(out_path, 'w') as f:
             json.dump(report, f, indent=2)
     return report
+
+
+def _write_ab_plots(plots_dir: str, triples, exp_by_name, pres,
+                    report: Dict[str, object]) -> None:
+    """Figure battery for an antibody eval run (the reference produces these
+    from notebooks over utils/evaluation.py; here they hang off the harness):
+    preservation distributions, mutation-overlap venns vs the experimental
+    humanization, and a position-level conservation table."""
+    from . import metrics as M
+    from . import plots as P
+    os.makedirs(plots_dir, exist_ok=True)
+    P.score_distributions(
+        {'H all': pres['h_all'], 'L all': pres['l_all'],
+         'H vernier': pres['h_vernier'], 'L vernier': pres['l_vernier']},
+        os.path.join(plots_dir, 'preservation_dist.png'),
+        xlabel='preservation vs parental')
+
+    with_exp = [(name, spair, mpair, exp_by_name[name])
+                for name, spair, mpair in triples if name in exp_by_name]
+    if with_exp:
+        rows = P.overlap_table([t[2] for t in with_exp],
+                               [t[3] for t in with_exp],
+                               [t[1] for t in with_exp],
+                               names=[t[0] for t in with_exp])
+        if rows:
+            P.plot_overlap(rows, os.path.join(plots_dir, 'overlap_mean.png'))
+            P.plot_overlap_venns(
+                rows, os.path.join(plots_dir, 'overlap_venns.png'))
+            report['overlap_shared_mean'] = float(
+                np.mean([r['Shared'] for r in rows]))
+
+    # position-level conservation vs the parental germline graft
+    # (utils/evaluation.py collect_positions)
+    rows = []
+    for name, (s_h, s_l), (m_h, m_l) in triples:
+        try:
+            rows += M.collect_positions(M.GridChain(m_h, True, 'H'),
+                                        M.GridChain(s_h, True, 'H'), name)
+            rows += M.collect_positions(M.GridChain(m_l, False),
+                                        M.GridChain(s_l, False), name)
+        except ValueError:
+            continue
+    if rows:
+        import csv
+        path = os.path.join(plots_dir, 'conservation_positions.csv')
+        with open(path, 'w', newline='') as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
 
 
 _ABNATIV_CACHE: Dict[str, tuple] = {}
@@ -432,6 +485,10 @@ def main(argv=None):
                    help='precomputed mouse T20 CSV (improvement base)')
     a.add_argument('--web', action='store_true',
                    help='also run T20/Z-score web evaluations (needs egress)')
+    a.add_argument('--plots', default=None, metavar='DIR',
+                   help='write the figure battery (preservation dists, '
+                        'mutation-overlap venns, conservation-position CSV) '
+                        'into DIR')
     n = sub.add_parser('nano')
     n.add_argument('--sample-csv', required=True)
     n.add_argument('--abnativ-vh', default=None)
@@ -449,7 +506,8 @@ def main(argv=None):
                          parental_oasis=args.parental_oasis,
                          experimental_oasis=args.experimental_oasis,
                          web=args.web,
-                         mouse_t20_csv=args.mouse_t20_csv)
+                         mouse_t20_csv=args.mouse_t20_csv,
+                         plots_dir=args.plots)
     else:
         report = eval_nano(args.sample_csv, args.abnativ_vh, args.abnativ_vhh,
                            args.out, web=args.web)

@@ -153,3 +153,34 @@ def test_eval_nano_name_pairing(tmp_path):
     assert report['n_matched'] == 2
     # both matched rows are exact copies of their own parental
     assert report['preservation_all'] == pytest.approx(1.0)
+
+
+@pytest.mark.skipif(not os.path.exists(HUAB348),
+                    reason='reference eval data not mounted')
+def test_eval_ab_plots_battery(tmp_path):
+    """--plots writes the figure battery + conservation table and the
+    overlap aggregate lands in the report."""
+    ref = pd.read_csv(HUAB348)
+    mouse = ref[ref['type'] == 'mouse'].reset_index(drop=True)
+    exp_by_name = H._exp_by_mouse_name(mouse,
+                                       ref[ref['type'] == 'humanized'])
+    rows = []
+    for _, r in mouse.head(4).iterrows():
+        name = str(r['name'])
+        if name in exp_by_name:
+            rows.append(('humanization', f'{name}human_sample',
+                         *exp_by_name[name]))
+    assert len(rows) >= 3
+    a = tmp_path / 'a.csv'
+    pd.DataFrame(rows, columns=['Specific', 'name', 'hseq', 'lseq']).to_csv(
+        a, index=False)
+    plots = tmp_path / 'figs'
+    report = H.eval_ab(str(a), HUAB348, plots_dir=str(plots))
+    for f in ('preservation_dist.png', 'overlap_mean.png',
+              'overlap_venns.png', 'conservation_positions.csv'):
+        assert os.path.getsize(plots / f) > 0, f
+    assert 'overlap_shared_mean' in report
+    cons = pd.read_csv(plots / 'conservation_positions.csv')
+    assert set(cons['conservation']).issubset(
+        {'Conserved', 'Back-mutated', 'Humanized', 'Engineered'})
+    assert {'Heavy', 'Light'} == set(cons['chain'])
