@@ -32,11 +32,13 @@ def main():
     model = AntiTFNet(cfg, dtype=jnp.bfloat16)
 
     # Candidate batch: the free throughput axis. Measured on v5e with the
-    # merged-QKV in-kernel-RoPE attention: B=256: 24.0, B=384: 23.6,
-    # B=512: 23.2 seqs/sec -> 256 is the sweet spot and throughput is
-    # batch-saturated. (The XLA attention path peaks at 8.2 and OOMs at
-    # B=512 on the materialized [B,H,L,L] probs.)
-    B = int(os.environ.get('HUDIFF_BENCH_B', 256))
+    # merged-QKV in-kernel-RoPE attention (round 2 sweep): B=64: 25.3,
+    # B=128: 24.2, B=256: 23.0, B=384: 23.6 seqs/sec — the forward is
+    # compute-saturated (~70 TFLOP/s) from B≈16, so 64 is the sweet spot
+    # (same throughput, 4x lower per-round latency and memory). (The XLA
+    # attention path peaks at 8.2 and OOMs at B=512 on the materialized
+    # [B,H,L,L] probs.)
+    B = int(os.environ.get('HUDIFF_BENCH_B', 64))
     region_row = np.concatenate([C.HEAVY_REGION_INDEX, C.LIGHT_REGION_INDEX])
     region = jnp.asarray(np.broadcast_to(region_row, (B, C.PAIR_LEN)).copy())
     chain = jnp.asarray(np.tile([[0, 2]], (B, 1)))

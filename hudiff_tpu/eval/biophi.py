@@ -99,7 +99,7 @@ def pair_from_fasta(path: str) -> Tuple[str, str]:
         except ValueError:
             continue
         # weak alignments are non-antibody chains that happened to embed
-        if score < 100.0:
+        if score < AL.MIN_CHAIN_SCORE:
             continue
         if group == 'H':
             h_seq = h_seq or seq

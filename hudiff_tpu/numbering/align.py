@@ -214,6 +214,12 @@ def align_to_aho_batch(seqs, chain_type: str = 'H'):
     return out
 
 
+# Alignment-score floor separating real antibody variable domains (~500 on
+# the consensus NW scale) from fragments/non-antibody proteins (<10); used
+# wherever ANARCI would have rejected a sequence outright.
+MIN_CHAIN_SCORE = 100.0
+
+
 def detect_chain_type(seq: str) -> Tuple[str, str, float]:
     """Best-scoring consensus -> (chain_group 'H'/'K'/'L', profile key, score)."""
     best = None

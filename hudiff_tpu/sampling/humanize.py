@@ -51,13 +51,18 @@ def pair_input(h_seq: str, l_seq: str, finetune: bool = False
                ) -> Optional[Dict[str, np.ndarray]]:
     """Build the 291-grid input for one antibody
     (reference batch_input_element, sample.py:142-179)."""
-    h = IMGT.grid_string(h_seq, heavy=True, chain_hint='H')
+    # reject fragments / non-antibody chains the way ANARCI numbering
+    # failure would in the reference (scores: real domains ~500, junk <10)
     try:
-        l_group, l_profile, _ = AL.detect_chain_type(l_seq)
+        _, _, h_score = AL.detect_chain_type(h_seq)
+        l_group, l_profile, l_score = AL.detect_chain_type(l_seq)
     except ValueError:
+        return None
+    if h_score < AL.MIN_CHAIN_SCORE or l_score < AL.MIN_CHAIN_SCORE:
         return None
     if l_group == 'H':
         l_group = 'K'  # light profile mis-detected as heavy: force kappa
+    h = IMGT.grid_string(h_seq, heavy=True, chain_hint='H')
     l = IMGT.grid_string(l_seq, heavy=False, chain_hint=l_group)
     if h is None or l is None:
         return None
@@ -153,6 +158,12 @@ def nano_input(vhh_seq: str, finetune: bool = False, inpaint: bool = False
                ) -> Optional[Dict[str, np.ndarray]]:
     """152-grid input for one nanobody
     (reference batch_input_element, nanosample.py:124-149)."""
+    try:
+        _, _, score = AL.detect_chain_type(vhh_seq)
+    except ValueError:
+        return None
+    if score < AL.MIN_CHAIN_SCORE:
+        return None  # fragment / non-antibody input
     h = IMGT.grid_string(vhh_seq, heavy=True, chain_hint='VHH')
     if h is None:
         return None
@@ -253,14 +264,16 @@ def _maybe_mesh(shard: bool):
 class PairHumanizer:
     def __init__(self, model, variables, batch_size: int = 16,
                  shuffle: bool = True, seed: int = 2023, mesh=None,
-                 device_batch: Optional[int] = None):
+                 device_batch: Optional[int] = None,
+                 positions_per_step: int = 1):
         self.batch_size = batch_size
         # packed-mode device batch: rows from MANY antibodies share one
         # program of this size (defaults to batch_size = unpacked shape)
         self.device_batch = device_batch or batch_size
         self.shuffle = shuffle
         self.rng = jax.random.PRNGKey(seed)
-        self.run = S.make_jit_sampler(model, variables, mesh=mesh)
+        self.run = S.make_jit_sampler(model, variables, mesh=mesh,
+                                      positions_per_step=positions_per_step)
 
     def __call__(self, h_seq: str, l_seq: str, finetune: bool = False,
                  inpaint: bool = False) -> Optional[Dict[str, object]]:
@@ -349,13 +362,15 @@ class PairHumanizer:
 class NanoHumanizer:
     def __init__(self, model, variables, batch_size: int = 16,
                  shuffle: bool = True, seed: int = 2023, mesh=None,
-                 device_batch: Optional[int] = None):
+                 device_batch: Optional[int] = None,
+                 positions_per_step: int = 1):
         self.batch_size = batch_size
         self.device_batch = device_batch or batch_size
         self.shuffle = shuffle
         self.rng = jax.random.PRNGKey(seed)
         self.run = S.make_jit_sampler(model, variables, has_chain_type=False,
-                                      mesh=mesh)
+                                      mesh=mesh,
+                                      positions_per_step=positions_per_step)
 
     def sample_rows(self, rows: List[Dict], pad_to: int) -> np.ndarray:
         """One device call over heterogeneous packed nanobody rows
@@ -462,7 +477,8 @@ def run_ab(args) -> str:
     hum = PairHumanizer(model, variables, batch_size=args.batch_size,
                         shuffle=(args.sample_order == 'shuffle'),
                         seed=args.seed, mesh=_maybe_mesh(args.shard),
-                        device_batch=max(args.pack_size, args.batch_size))
+                        device_batch=max(args.pack_size, args.batch_size),
+                        positions_per_step=args.positions_per_step)
 
     if args.fasta:
         # single-antibody humanization from a (complex) FASTA
@@ -573,7 +589,8 @@ def run_nano(args) -> str:
     hum = NanoHumanizer(model, variables, batch_size=args.batch_size,
                         shuffle=(args.sample_order == 'shuffle'),
                         seed=args.seed, mesh=_maybe_mesh(args.shard),
-                        device_batch=max(args.pack_size, args.batch_size))
+                        device_batch=max(args.pack_size, args.batch_size),
+                        positions_per_step=args.positions_per_step)
 
     if args.fasta:
         # first heavy-type record of a FASTA
@@ -688,6 +705,10 @@ def main(argv=None):
                        action='store_false')
         q.add_argument('--logdir', default='./logs')
         q.add_argument('--fp32', action='store_true')
+        q.add_argument('--positions-per-step', type=int, default=1,
+                       help='resample k positions per forward (k>1 = the '
+                            'OA-ARDM within-step-independence acceleration, '
+                            '~k x faster; 1 = exact reference semantics)')
         q.add_argument('--pack-size', type=int, default=256,
                        help='device batch for dataset-mode packed sampling: '
                             'rows from many antibodies share one program of '

@@ -31,7 +31,8 @@ from .. import constants as C
 SAMPLE_TOP = C.N_TOKENS - 1
 
 
-def make_scan_sampler(apply_fn: Callable[..., jnp.ndarray], top: int = SAMPLE_TOP):
+def make_scan_sampler(apply_fn: Callable[..., jnp.ndarray], top: int = SAMPLE_TOP,
+                      positions_per_step: int = 1):
     """Build a jittable sampler around ``apply_fn(tokens, ...) -> logits``.
 
     Args:
@@ -39,6 +40,13 @@ def make_scan_sampler(apply_fn: Callable[..., jnp.ndarray], top: int = SAMPLE_TO
         returning ``[B, L, V]`` logits (params already bound).
       top: sample from ``logits[..., :top]`` (22 = all but <msk>; 20 = strict
         amino acids, as the fine-tuned infilling restricts).
+      positions_per_step: resample this many positions per forward. 1 (the
+        default) matches the reference's strictly-one-position-at-a-time
+        reverse process (sample.py:499-513). k>1 is the standard OA-ARDM
+        acceleration: the k positions of a step are drawn as conditionally
+        independent given the current grid — an opt-in approximation that
+        cuts the number of forwards (the dominant cost) by ~k at a small
+        joint-dependency cost within each step.
 
     Returns:
       ``sampler(tokens, order, rng, *cond) -> tokens`` where ``order`` is
@@ -49,29 +57,60 @@ def make_scan_sampler(apply_fn: Callable[..., jnp.ndarray], top: int = SAMPLE_TO
                 *cond) -> jnp.ndarray:
         B, L = tokens.shape
         K = order.shape[1]
-        step_rngs = jax.random.split(rng, K)
+        k = max(1, positions_per_step)
+        n_steps = -(-K // k)
+        if n_steps * k != K:  # pad order with no-op slots to a multiple of k
+            order = jnp.concatenate(
+                [order, jnp.full((B, n_steps * k - K), -1, order.dtype)],
+                axis=1)
+        step_rngs = jax.random.split(rng, n_steps)
         batch_ix = jnp.arange(B)
 
-        def step(carry_tokens, xs):
-            pos, step_rng = xs                      # pos: [B]
-            valid = pos >= 0
-            safe_pos = jnp.where(valid, pos, 0)
-            logits = apply_fn(carry_tokens, *cond)  # [B, L, V]
-            sel = jnp.take_along_axis(
-                logits, safe_pos[:, None, None], axis=1)[:, 0, :top]
-            sampled = jax.random.categorical(step_rng, sel.astype(jnp.float32))
-            cur = carry_tokens[batch_ix, safe_pos]
-            new_val = jnp.where(valid, sampled.astype(carry_tokens.dtype), cur)
-            return carry_tokens.at[batch_ix, safe_pos].set(new_val), None
+        if k == 1:
+            def step(carry_tokens, xs):
+                pos, step_rng = xs                      # pos: [B]
+                valid = pos >= 0
+                safe_pos = jnp.where(valid, pos, 0)
+                logits = apply_fn(carry_tokens, *cond)  # [B, L, V]
+                sel = jnp.take_along_axis(
+                    logits, safe_pos[:, None, None], axis=1)[:, 0, :top]
+                sampled = jax.random.categorical(step_rng,
+                                                 sel.astype(jnp.float32))
+                cur = carry_tokens[batch_ix, safe_pos]
+                new_val = jnp.where(valid, sampled.astype(carry_tokens.dtype),
+                                    cur)
+                return carry_tokens.at[batch_ix, safe_pos].set(new_val), None
 
-        final, _ = jax.lax.scan(step, tokens, (order.T, step_rngs))
+            xs = (order.T, step_rngs)
+        else:
+            def step(carry_tokens, xs):
+                pos, step_rng = xs                      # pos: [B, k]
+                valid = pos >= 0
+                # invalid slots scatter out of bounds and are dropped, so a
+                # padded slot can never clobber a real write in the same step
+                safe_gather = jnp.where(valid, pos, 0)
+                safe_scatter = jnp.where(valid, pos, L)
+                logits = apply_fn(carry_tokens, *cond)  # [B, L, V]
+                sel = jnp.take_along_axis(
+                    logits, safe_gather[:, :, None], axis=1)[:, :, :top]
+                sampled = jax.random.categorical(
+                    step_rng, sel.astype(jnp.float32))  # [B, k]
+                return carry_tokens.at[
+                    batch_ix[:, None], safe_scatter].set(
+                        sampled.astype(carry_tokens.dtype),
+                        mode='drop'), None
+
+            xs = (order.reshape(B, n_steps, k).transpose(1, 0, 2), step_rngs)
+
+        final, _ = jax.lax.scan(step, tokens, xs)
         return final
 
     return sampler
 
 
 def make_jit_sampler(model, params, top: int = SAMPLE_TOP,
-                     has_chain_type: bool = True, mesh=None):
+                     has_chain_type: bool = True, mesh=None,
+                     positions_per_step: int = 1):
     """Convenience: jitted end-to-end sampler for a denoiser model.
 
     Returns ``fn(tokens, region, chain_type, order, rng) -> tokens`` (chain
@@ -108,7 +147,8 @@ def make_jit_sampler(model, params, top: int = SAMPLE_TOP,
         def apply_fn(tokens, region, chain):
             return model.apply(params, tokens, region, chain)
 
-        sampler = make_scan_sampler(apply_fn, top=top)
+        sampler = make_scan_sampler(apply_fn, top=top,
+                                    positions_per_step=positions_per_step)
 
         @functools.partial(jax.jit, **jit_kwargs)
         def run(tokens, region, chain, order, rng):
@@ -117,7 +157,8 @@ def make_jit_sampler(model, params, top: int = SAMPLE_TOP,
         def apply_fn(tokens, region):
             return model.apply(params, tokens, region)
 
-        sampler = make_scan_sampler(apply_fn, top=top)
+        sampler = make_scan_sampler(apply_fn, top=top,
+                                    positions_per_step=positions_per_step)
 
         @functools.partial(jax.jit, **jit_kwargs)
         def run(tokens, region, order, rng):

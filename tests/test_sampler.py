@@ -116,3 +116,63 @@ def test_sharded_sampler_matches_unsharded():
     outN = np.asarray(runN(tokens, region, order, rng))
 
     np.testing.assert_array_equal(out1, outN)
+
+
+def test_multi_position_step_fills_all():
+    """k>1 sampling fills every masked slot, keeps CDRs, and never writes
+    out-of-set positions (the padded-slot drop path)."""
+    model, params, region = _tiny_nano()
+    B = 2
+    cdr = np.asarray(C.HEAVY_CDR_INDEX)
+    fr_positions = np.nonzero(cdr == 0)[0]
+    tokens = np.random.RandomState(0).randint(0, C.N_AA, (B, C.HEAVY_LEN))
+    tokens[:, fr_positions] = C.IDX_MSK
+    tokens = jnp.asarray(tokens, jnp.int32)
+    for k in (3, 7):
+        order = S.build_order(fr_positions, B, rng=jax.random.PRNGKey(1))
+        run = S.make_jit_sampler(model, params, has_chain_type=False,
+                                 positions_per_step=k)
+        out = np.asarray(run(tokens, region, order, jax.random.PRNGKey(2)))
+        assert (out != C.IDX_MSK).all(), k
+        np.testing.assert_array_equal(out[:, cdr != 0],
+                                      np.asarray(tokens)[:, cdr != 0])
+        assert out.max() < C.IDX_MSK
+
+
+def test_multi_position_step_respects_row_masks():
+    """Rows with different position sets: the padded short row must keep its
+    unmasked tokens even when packed into k-sized steps (drop-mode scatter
+    cannot clobber slot 0 etc.)."""
+    model, params, region = _tiny_nano()
+    cdr = np.asarray(C.HEAVY_CDR_INDEX)
+    fr = np.nonzero(cdr == 0)[0]
+    sets = [fr[:11], fr[:4]]  # row 1 has 4 real slots + 7 pads
+    tokens = np.random.RandomState(3).randint(0, C.N_AA, (2, C.HEAVY_LEN))
+    tokens[0, sets[0]] = C.IDX_MSK
+    tokens[1, sets[1]] = C.IDX_MSK
+    tokens = jnp.asarray(tokens, jnp.int32)
+    order = S.build_order_rows(sets, rng=jax.random.PRNGKey(4), pad_to=11)
+    run = S.make_jit_sampler(model, params, has_chain_type=False,
+                             positions_per_step=4)
+    out = np.asarray(run(tokens, region, order, jax.random.PRNGKey(5)))
+    assert (out != C.IDX_MSK).all()
+    keep1 = np.ones(C.HEAVY_LEN, bool)
+    keep1[sets[1]] = False
+    np.testing.assert_array_equal(out[1][keep1], np.asarray(tokens)[1][keep1])
+
+
+def test_k1_path_unchanged_by_refactor():
+    """positions_per_step=1 produces the same tokens as the default call."""
+    model, params, region = _tiny_nano()
+    cdr = np.asarray(C.HEAVY_CDR_INDEX)
+    fr = np.nonzero(cdr == 0)[0][:9]
+    tokens = np.random.RandomState(6).randint(0, C.N_AA, (2, C.HEAVY_LEN))
+    tokens[:, fr] = C.IDX_MSK
+    tokens = jnp.asarray(tokens, jnp.int32)
+    order = S.build_order(fr, 2, rng=jax.random.PRNGKey(7))
+    r1 = S.make_jit_sampler(model, params, has_chain_type=False)
+    r2 = S.make_jit_sampler(model, params, has_chain_type=False,
+                            positions_per_step=1)
+    o1 = np.asarray(r1(tokens, region, order, jax.random.PRNGKey(8)))
+    o2 = np.asarray(r2(tokens, region, order, jax.random.PRNGKey(8)))
+    np.testing.assert_array_equal(o1, o2)
