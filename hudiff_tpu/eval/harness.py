@@ -99,18 +99,31 @@ def eval_ab(sample_csv: str, pair_csv: str, out_path: Optional[str] = None,
             experimental_oasis: Optional[str] = None,
             web: bool = False,
             mouse_t20_csv: Optional[str] = None,
-            plots_dir: Optional[str] = None) -> Dict[str, object]:
+            plots_dir: Optional[str] = None,
+            experimental_csv: Optional[str] = None) -> Dict[str, object]:
     """Score an antibody humanization run against the paired eval set
     (mouse + experimental humanized, e.g. HuAb348 / Humab25 CSVs)."""
     import pandas as pd
     sample = pd.read_csv(sample_csv)
     human = sample[sample['Specific'] == 'humanization'].reset_index(drop=True)
     ref = pd.read_csv(pair_csv)
-    mouse = ref[ref['type'] == 'mouse'].reset_index(drop=True)
-    exp = ref[ref['type'] == 'humanized'].reset_index(drop=True)
+    mouse = (ref[ref['type'] == 'mouse'].reset_index(drop=True)
+             if 'type' in ref.columns else ref)
+    exp = (ref[ref['type'] == 'humanized'].reset_index(drop=True)
+           if 'type' in ref.columns else ref.iloc[0:0])
 
     mouse_by_name = _pairs_by_name(mouse)
-    exp_by_name = _exp_by_mouse_name(mouse, exp)
+    if experimental_csv:
+        # Humab25-style layout: experimental humanized pairs live in their
+        # own CSV ('experimental_humanized.csv' or a t20-score CSV carrying
+        # Raw_name/h_seq/l_seq), keyed to the mouse set by name
+        # (reference humab25_eval.py:293-300)
+        exp_df = pd.read_csv(experimental_csv)
+        name_col = 'name' if 'name' in exp_df.columns else 'Raw_name'
+        exp_by_name = {str(r[name_col]): (r['h_seq'], r['l_seq'])
+                       for _, r in exp_df.iterrows()}
+    else:
+        exp_by_name = _exp_by_mouse_name(mouse, exp)
 
     report: Dict[str, object] = {'n_samples': len(human)}
     matched = 0
@@ -481,6 +494,10 @@ def main(argv=None):
     a.add_argument('--parental-oasis', default=None,
                    help='precomputed parental OASis xlsx (improvement base)')
     a.add_argument('--experimental-oasis', default=None)
+    a.add_argument('--experimental-csv', default=None,
+                   help='separate experimental-humanized CSV (Humab25 '
+                        'layout: name/Raw_name + h_seq/l_seq), keyed to the '
+                        'mouse set by name')
     a.add_argument('--mouse-t20-csv', default=None,
                    help='precomputed mouse T20 CSV (improvement base)')
     a.add_argument('--web', action='store_true',
@@ -507,7 +524,8 @@ def main(argv=None):
                          experimental_oasis=args.experimental_oasis,
                          web=args.web,
                          mouse_t20_csv=args.mouse_t20_csv,
-                         plots_dir=args.plots)
+                         plots_dir=args.plots,
+                         experimental_csv=args.experimental_csv)
     else:
         report = eval_nano(args.sample_csv, args.abnativ_vh, args.abnativ_vhh,
                            args.out, web=args.web)

@@ -83,7 +83,13 @@ def _rope_fwd_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, r_ref, o_ref, *,
         q = _rot(q_ref[0, :, sl].astype(jnp.float32), c, s, rm)
         k = _rot(k_ref[0, :, sl].astype(jnp.float32), c, s, rm)
         v = v_ref[0, :, sl]
-        st = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+        # rotate in f32 for accuracy, then matmul in the INPUT dtype with
+        # f32 accumulation: bf16 inputs (the production path) hit the MXU's
+        # native rate, while f32 inputs keep full fidelity (an f32 matmul
+        # costs multiple bf16 passes)
+        st = jax.lax.dot_general(q.astype(q_ref.dtype),
+                                 k.astype(k_ref.dtype),
+                                 (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
         p = jax.nn.softmax(st, axis=-1)
         o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -101,21 +107,26 @@ def _rope_bwd_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, r_ref, do_ref,
         sl = slice(h * head_dim, (h + 1) * head_dim)
         q = _rot(q_ref[0, :, sl].astype(jnp.float32), c, s, rm)
         k = _rot(k_ref[0, :, sl].astype(jnp.float32), c, s, rm)
-        v = v_ref[0, :, sl].astype(jnp.float32)
-        do = do_ref[0, :, sl].astype(jnp.float32)
-        st = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+        mm_dtype = q_ref.dtype  # input dtype: bf16 fast path, f32 exact
+        qh = q.astype(mm_dtype)
+        kh = k.astype(mm_dtype)
+        v = v_ref[0, :, sl]
+        do = do_ref[0, :, sl].astype(mm_dtype)
+        st = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
         p = jax.nn.softmax(st, axis=-1)          # recompute in VMEM
+        ph = p.astype(mm_dtype)
         # dv = P^T dO
-        dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+        dv = jax.lax.dot_general(ph, do, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         # dP = dO V^T ; dS = P * (dP - rowsum(dP * P))
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+              ).astype(mm_dtype)
+        dq = jax.lax.dot_general(ds, kh, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+        dk = jax.lax.dot_general(ds, qh, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
         dq_ref[0, :, sl] = _rot_inv(dq, c, s, rm).astype(dq_ref.dtype)
         dk_ref[0, :, sl] = _rot_inv(dk, c, s, rm).astype(dk_ref.dtype)
@@ -195,7 +206,11 @@ def _rope_fwd_kernel_qkv(qkv_ref, cos_ref, sin_ref, r_ref, o_ref, *,
         k = _rot(qkv_ref[0, :, A + h * head_dim:A + (h + 1) * head_dim]
                  .astype(jnp.float32), c, s, rm)
         v = qkv_ref[0, :, 2 * A + h * head_dim:2 * A + (h + 1) * head_dim]
-        st = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+        # rotate in f32, matmul in the input dtype with f32 accumulation
+        # (bf16 inputs hit the MXU's native rate; f32 stays exact)
+        st = jax.lax.dot_general(q.astype(qkv_ref.dtype),
+                                 k.astype(qkv_ref.dtype),
+                                 (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
         p = jax.nn.softmax(st, axis=-1)
         o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -214,20 +229,25 @@ def _rope_bwd_kernel_qkv(qkv_ref, cos_ref, sin_ref, r_ref, do_ref, dqkv_ref, *,
                  .astype(jnp.float32), c, s, rm)
         k = _rot(qkv_ref[0, :, A + h * head_dim:A + (h + 1) * head_dim]
                  .astype(jnp.float32), c, s, rm)
-        v = qkv_ref[0, :, 2 * A + h * head_dim:2 * A + (h + 1) * head_dim] \
-            .astype(jnp.float32)
-        do = do_ref[0, :, h * head_dim:(h + 1) * head_dim].astype(jnp.float32)
-        st = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+        mm_dtype = qkv_ref.dtype  # bf16 fast path, f32 exact
+        qh = q.astype(mm_dtype)
+        kh = k.astype(mm_dtype)
+        v = qkv_ref[0, :, 2 * A + h * head_dim:2 * A + (h + 1) * head_dim]
+        do = do_ref[0, :, h * head_dim:(h + 1) * head_dim] \
+            .astype(mm_dtype)
+        st = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
         p = jax.nn.softmax(st, axis=-1)
-        dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+        ph = p.astype(mm_dtype)
+        dv = jax.lax.dot_general(ph, do, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+              ).astype(mm_dtype)
+        dq = jax.lax.dot_general(ds, kh, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+        dk = jax.lax.dot_general(ds, qh, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
         dqkv_ref[0, :, h * head_dim:(h + 1) * head_dim] = \
             _rot_inv(dq, c, s, rm).astype(dqkv_ref.dtype)

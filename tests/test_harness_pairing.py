@@ -184,3 +184,28 @@ def test_eval_ab_plots_battery(tmp_path):
     assert set(cons['conservation']).issubset(
         {'Conserved', 'Back-mutated', 'Humanized', 'Engineered'})
     assert {'Heavy', 'Light'} == set(cons['chain'])
+
+
+HUMAB25_MOUSE = ('/root/reference/data/antibody_eval_data/Humab25_data/'
+                 'parental_mouse.csv')
+HUMAB25_EXP = ('/root/reference/data/antibody_eval_data/Humab25_data/'
+               'sample_experimental_t20_score.csv')
+
+
+@pytest.mark.skipif(not os.path.exists(HUMAB25_MOUSE),
+                    reason='reference eval data not mounted')
+def test_eval_ab_humab25_layout(tmp_path):
+    """Humab25 keeps mouse and experimental pairs in separate CSVs; the
+    harness pairs them by name via --experimental-csv. Samples = the
+    experimental pairs themselves -> mutation precision exactly 1."""
+    exp = pd.read_csv(HUMAB25_EXP)
+    rows = [('humanization', f'{r.Raw_name}human_sample', r.h_seq, r.l_seq)
+            for r in exp.head(4).itertuples()]
+    a = tmp_path / 's.csv'
+    pd.DataFrame(rows, columns=['Specific', 'name', 'hseq', 'lseq']).to_csv(
+        a, index=False)
+    report = H.eval_ab(str(a), HUMAB25_MOUSE, experimental_csv=HUMAB25_EXP)
+    assert report['n_matched'] >= 3
+    assert report['fr_mutation_precision_h'] == pytest.approx(1.0)
+    assert report['fr_mutation_precision_l'] == pytest.approx(1.0)
+    assert 0.5 < report['preservation_all_h'] < 1.0

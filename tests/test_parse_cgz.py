@@ -1,0 +1,110 @@
+"""parse_cgz_file: paired OAS .csv.gz parsing (reference
+dataset/preprocess.py:27-175) — locus filter, X filter, dedup, grid pads."""
+import gzip
+
+import numpy as np
+import pytest
+
+from hudiff_tpu import constants as C
+from hudiff_tpu.data import oas
+from hudiff_tpu.numbering import imgt as IMGT
+
+H1 = ('QVQLQQPGAELVKPGASVKLSCKASGYTFTSYWMHWVKQRPGQGLEWIGEINPSNGRTNY'
+      'NEKFKSKATLTVDKSSSTAYMQLSSLTSEDSAVYYCARGGYYFDYWGQGTTLTVSS')
+L1 = ('DIVMTQSQKFMSTSVGDRVSVTCKASQNVGTNVAWYQQKPGQSPKALIYSASYRYSGVPD'
+      'RFTGSGSGTDFTLTISNVQSEDLAEYFCQQYNSYPLTFGAGTKLELK')
+H2 = ('EVQLVESGGGLVQPGGSLRLSCAASGFTFSSYAMSWVRQAPGKGLEWVSAISGSGGSTYY'
+      'ADSVKGRFTISRDNSKNTLYLQMNSLRAEDTAVYYCAKDRGYYFDYWGQGTLVTVSS')
+L2 = ('QSVLTQPPSASGTPGQRVTISCSGSSSNIGSNTVNWYQQLPGTAPKLLIYSNNQRPSGVP'
+      'DRFSGSKSGTSASLAISGLQSEDEADYYCAAWDDSLNGPVFGGGTKLTVL')
+
+
+def _anarci_json(seq: str, heavy: bool, locus: str) -> str:
+    """Segmented ANARCI-style numbering dict (str(dict) like OAS embeds)
+    built from the framework's own grid placement."""
+    placed = IMGT.grid_string(seq, heavy=heavy, chain_hint=locus)
+    assert placed is not None
+    positions = C.HEAVY_POSITIONS if heavy else C.LIGHT_POSITIONS
+    regions = C.HEAVY_REGION_INDEX if heavy else C.LIGHT_REGION_INDEX
+    segs = {name: {} for name in C.SEG_NAMES[locus]}
+    for i, ch in enumerate(placed['grid']):
+        if ch == '-':
+            continue
+        seg = C.SEG_NAMES[locus][regions[i]]
+        segs[seg][positions[i] + ' '] = ch  # OAS keys carry trailing spaces
+    return str(segs), placed['grid']
+
+
+def _write_cgz(path, rows):
+    cols = ['locus_heavy', 'locus_light', 'ANARCI_numbering_heavy',
+            'ANARCI_numbering_light', 'sequence_alignment_aa_heavy',
+            'sequence_alignment_aa_light']
+    with gzip.open(path, 'wt') as f:
+        f.write('{"metadata": "synthetic OAS export"}\n')  # header line 0
+        f.write(','.join(cols) + '\n')
+        for r in rows:
+            f.write(','.join('"%s"' % str(r[c]).replace('"', "'")
+                             for c in cols) + '\n')
+
+
+@pytest.fixture()
+def cgz(tmp_path):
+    jh1, grid_h1 = _anarci_json(H1, True, 'H')
+    jl1, grid_l1 = _anarci_json(L1, False, 'K')
+    jh2, grid_h2 = _anarci_json(H2, True, 'H')
+    jl2, grid_l2 = _anarci_json(L2, False, 'L')
+    good_k = {'locus_heavy': 'H', 'locus_light': 'K',
+              'ANARCI_numbering_heavy': jh1, 'ANARCI_numbering_light': jl1,
+              'sequence_alignment_aa_heavy': H1,
+              'sequence_alignment_aa_light': L1}
+    good_l = {'locus_heavy': 'H', 'locus_light': 'L',
+              'ANARCI_numbering_heavy': jh2, 'ANARCI_numbering_light': jl2,
+              'sequence_alignment_aa_heavy': H2,
+              'sequence_alignment_aa_light': L2}
+    wrong_locus = dict(good_k, locus_heavy='K')
+    x_h = H1[:30] + 'X' + H1[31:]
+    jx, _ = _anarci_json(x_h, True, 'H')
+    with_x = dict(good_k, ANARCI_numbering_heavy=jx,
+                  sequence_alignment_aa_heavy=x_h)
+    rows = [good_k, wrong_locus, with_x, good_k, good_l]  # good_k duplicated
+    path = tmp_path / 'unit.csv.gz'
+    _write_cgz(path, rows)
+    return str(path), {'grids': (grid_h1, grid_l1, grid_h2, grid_l2)}
+
+
+def test_parse_cgz_filters_and_pads(cgz):
+    path, meta = cgz
+    out, chn = oas.parse_cgz_file(path, set())
+    # wrong-locus, X-containing, and duplicate rows dropped -> 2 records
+    assert len(out) == 2
+    names = [r[0] for r in out]
+    assert all(n == 'unit' for n in names)
+    (n1, h1, l1, hp1, lp1, ah1, al1, lh1, ll1) = out[0]
+    assert (h1, l1) == (H1, L1)
+    assert hp1 == meta['grids'][0]
+    assert lp1 == meta['grids'][1]
+    assert ah1 is None and al1 is None  # not mouse mode
+    assert (lh1, ll1) == ('H', 'K')
+    (_, h2, l2, hp2, lp2, _, _, lh2, ll2) = out[1]
+    assert (lh2, ll2) == ('H', 'L')
+    assert hp2 == meta['grids'][2]
+    assert {(H1, L1), (H2, L2)} == chn
+
+
+def test_parse_cgz_mouse_mode_aho(cgz):
+    path, _ = cgz
+    out, _ = oas.parse_cgz_file(path, set(), mouse=True)
+    assert len(out) == 2
+    for rec in out:
+        aho_h, aho_l = rec[5], rec[6]
+        assert aho_h is not None and len(aho_h) == C.AHO_LEN
+        assert aho_l is not None and len(aho_l) == C.AHO_LEN
+        # AHo alignment preserves the residues
+        assert aho_h.replace('-', '') == rec[1]
+
+
+def test_parse_cgz_dedup_across_files(cgz, tmp_path):
+    path, _ = cgz
+    out1, chn = oas.parse_cgz_file(path, set())
+    out2, chn = oas.parse_cgz_file(path, chn)  # same file again
+    assert len(out1) == 2 and len(out2) == 0  # all pairs already seen
