@@ -16,7 +16,10 @@ import numpy as np
 
 
 def prefetch(it: Iterable, size: int = 2) -> Iterator:
-    """Run ``it`` in a daemon thread, buffering up to ``size`` items."""
+    """Run ``it`` in a daemon thread, buffering up to ``size`` items.
+
+    A producer-side exception is re-raised in the consumer (silently ending
+    the stream would truncate an epoch and look like clean exhaustion)."""
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
 
@@ -24,13 +27,17 @@ def prefetch(it: Iterable, size: int = 2) -> Iterator:
         try:
             for item in it:
                 q.put(item)
-        finally:
-            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 - relay to consumer
+            q.put((_END, e))
+            return
+        q.put((_END, None))
 
     threading.Thread(target=worker, daemon=True).start()
     while True:
         item = q.get()
-        if item is _END:
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _END:
+            if item[1] is not None:
+                raise item[1]
             return
         yield item
 

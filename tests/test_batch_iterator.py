@@ -42,3 +42,25 @@ def test_empty_split_raises():
     with pytest.raises(ValueError):
         next(oas.batch_iterator(ds, np.asarray([], np.int64), 4,
                                 collate=lambda x: x))
+
+
+def test_prefetch_relays_producer_exception():
+    from hudiff_tpu.data.pipeline import prefetch
+
+    def gen():
+        yield 1
+        yield 2
+        raise RuntimeError('disk went away')
+
+    it = prefetch(gen(), size=1)
+    assert next(it) == 1
+    assert next(it) == 2
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match='disk went away'):
+        next(it)
+
+
+def test_prefetch_passes_tuples_through():
+    from hudiff_tpu.data.pipeline import prefetch
+    items = [(1, 2), (3, 4)]
+    assert list(prefetch(iter(items))) == items
