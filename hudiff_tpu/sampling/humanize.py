@@ -566,10 +566,12 @@ def _packed_pair_loop(hum: PairHumanizer, pairs, finetune: bool, args,
                     unique[i].append(cand)
     with open(save_fpath, 'a', encoding='UTF-8') as f:
         for i, (name, h_seq, l_seq) in enumerate(pairs):
+            # parental row always written (same as the unpacked path, which
+            # writes it before attempting); humanization rows only on success
+            f.write(f'mouse,{name},{h_seq},{l_seq}\n')
             if inputs[i] is None:
                 logger.warning('could not align %s; skipped', name)
                 continue
-            f.write(f'mouse,{name},{h_seq},{l_seq}\n')
             for g_h, g_l in unique[i]:
                 f.write(f'humanization,{name}human_sample,{g_h},{g_l}\n')
             logger.info('humanized %s (%d candidates)', name, len(unique[i]))
@@ -672,10 +674,10 @@ def _packed_nano_loop(hum: NanoHumanizer, rows, finetune: bool, args,
                     unique[i].append(cand)
     with open(save_fpath, 'a', encoding='UTF-8') as f:
         for i, (name, seq) in enumerate(rows):
+            f.write(f'camel,{name},{seq}\n')
             if inputs[i] is None or not unique[i]:
                 logger.warning('could not align/humanize %s; skipped', name)
                 continue
-            f.write(f'camel,{name},{seq}\n')
             for sq in unique[i]:
                 f.write(f'humanization,{name}human_sample,{sq}\n')
             logger.info('humanized %s (%d candidates)', name, len(unique[i]))
