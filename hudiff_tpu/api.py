@@ -42,23 +42,21 @@ def humanize_pair(h_seq: str, l_seq: str, ckpt: str, n: int = 1,
                   ) -> List[Tuple[str, str]]:
     """Humanize one VH/VL pair; returns up to ``n`` unique (h, l) candidates
     (best-of-batch by parental preservation when n == 1)."""
+    from .sampling.humanize import collect_unique
     hum, finetuned = _humanizer(ckpt, 'ab', batch_size, seed,
                                 positions_per_step, use_bf16)
-    unique: List[Tuple[str, str]] = []
-    seen: set = set()
-    for _ in range(max_retry):
+
+    def round_fn():
         res = hum(h_seq, l_seq, finetune=finetuned,
                   inpaint=method == 'inpaint')
         if res is None:
-            raise ValueError('chains did not align to the IMGT grid')
-        cands = ([res['best']] if n == 1
-                 else list(zip(res['h_seqs'], res['l_seqs'])))
-        for cand in cands:
-            if cand not in seen and len(unique) < n:
-                seen.add(cand)
-                unique.append(cand)
-        if len(unique) >= n:
-            break
+            return None
+        return ([res['best']] if n == 1
+                else list(zip(res['h_seqs'], res['l_seqs'])))
+
+    unique, failed = collect_unique(round_fn, n, max_retry)
+    if failed and not unique:
+        raise ValueError('chains did not align to the IMGT grid')
     return unique
 
 
@@ -67,21 +65,19 @@ def humanize_vhh(vhh_seq: str, ckpt: str, n: int = 1, method: str = 'FR',
                  positions_per_step: int = 1, max_retry: int = 8,
                  use_bf16: bool = True) -> List[str]:
     """Humanize one nanobody; returns up to ``n`` unique VHH candidates."""
+    from .sampling.humanize import collect_unique
     hum, finetuned = _humanizer(ckpt, 'nano', batch_size, seed,
                                 positions_per_step, use_bf16)
-    unique: List[str] = []
-    seen: set = set()
-    for _ in range(max_retry):
+
+    def round_fn():
         res = hum(vhh_seq, finetune=finetuned, inpaint=method == 'inpaint')
         if res is None:
-            raise ValueError('sequence did not align / no valid candidates')
-        cands = [res['best']] if n == 1 else res['seqs']
-        for cand in cands:
-            if cand not in seen and len(unique) < n:
-                seen.add(cand)
-                unique.append(cand)
-        if len(unique) >= n:
-            break
+            return None
+        return [res['best']] if n == 1 else res['seqs']
+
+    unique, failed = collect_unique(round_fn, n, max_retry)
+    if failed and not unique:
+        raise ValueError('sequence did not align / no valid candidates')
     return unique
 
 

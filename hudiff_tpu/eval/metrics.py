@@ -189,13 +189,10 @@ def germline_graft(chain: GridChain, backmutate_vernier: bool = False):
 
 def germline_identity(chain: GridChain) -> float:
     """FR identity between a chain and its own germline graft
-    (cal_group_fr_germline_identity, patent_eval.py:203-213)."""
-    g = germline_graft(chain)['grid']
-    fr = ~chain.imgt_cdr
-    occ = fr & ((chain.grid != '-') | (g != '-'))
-    if occ.sum() == 0:
-        return 0.0
-    return float((chain.grid[occ] == g[occ]).mean())
+    (cal_group_fr_germline_identity, patent_eval.py:203-213). Delegates to
+    the single grid-level implementation in numbering/germline.py."""
+    from ..numbering import germline as G
+    return G.fr_identity_grid(chain.grid, _chain_group(chain))
 
 
 def annotate_conservation(parental: str, pred: str, germline: str) -> str:

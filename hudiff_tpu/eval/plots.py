@@ -218,9 +218,10 @@ def venn2_overlap(ax, overlap: Dict[str, float],
         ax.add_patch(lens)
         lens.set_clip_path(mpatches.Circle((x2, 0), r2,
                                            transform=ax.transData))
-    is_float = (a_only + shared + b_only) != float(int(a_only + shared
-                                                       + b_only))
-    fmt = (lambda v: f'{v:.1f}') if is_float else (lambda v: str(int(v)))
+    def fmt(v: float) -> str:
+        # per-value: a mean overlap like (1.5, 0.5, 1.0) must not render
+        # as integers just because the panel's total happens to be whole
+        return str(int(v)) if v == float(int(v)) else f'{v:.1f}'
     ax.text(x1 - r1 * 0.45, 0, fmt(a_only), ha='center', va='center',
             fontsize=fontsize, color=label_colors[0])
     ax.text(x2 + r2 * 0.45, 0, fmt(b_only), ha='center', va='center',
@@ -317,6 +318,22 @@ def plot_oasis_curves(curves, path: str, groupby: Optional[str] = None,
     """OASis identity vs prevalence threshold, one line per group with IQR
     bands (plot_oasis_curves, utils/evaluation.py:226-284)."""
     plt = _plt()
+    fig, ax = plt.subplots(figsize=(6.5, 4.5))
+    _draw_oasis_curves(ax, curves, groupby=groupby, colors=colors,
+                       thresholds=thresholds, fill_alpha=fill_alpha,
+                       markers=markers, ylim=ylim)
+    ax.legend(loc='lower center', ncol=4, bbox_to_anchor=(0.5, 1),
+              frameon=False, columnspacing=1, handletextpad=0.5)
+    fig.savefig(path, dpi=150, bbox_inches='tight')
+    plt.close(fig)
+
+
+def _draw_oasis_curves(ax, curves, groupby: Optional[str] = None,
+                       colors: Optional[Dict[str, str]] = None,
+                       thresholds: bool = True, fill_alpha: float = 0.1,
+                       markers: str = 'osx+vD<>^', ylim=(0, 1)) -> None:
+    """Draw the curves panel onto ``ax`` (shared by the standalone figure
+    and the combined curve+barplot panel)."""
     import matplotlib.ticker as ticker
     columns = [c for c in curves.columns if '%' in c and c != '0%']
     if groupby is not None:
@@ -329,8 +346,7 @@ def plot_oasis_curves(curves, path: str, groupby: Optional[str] = None,
     if colors is None:
         colors = {g: None for g in mean.index}
     x = np.arange(len(columns))
-    fig, ax = plt.subplots(figsize=(6.5, 4.5))
-    xticks = [0] + list(range(9, len(columns) + 1, 10))
+    xticks = [0] + list(range(9, len(columns), 10))
     for i, (group, color) in enumerate(colors.items()):
         y = mean.loc[group].to_numpy(dtype=float)
         ax.plot(x, y, color=color, label=str(group), lw=1.5, zorder=1000)
@@ -349,8 +365,6 @@ def plot_oasis_curves(curves, path: str, groupby: Optional[str] = None,
         ticker.FuncFormatter(lambda y, _: '{:.0%}'.format(y)))
     ax.set_ylim(ylim)
     ax.set_xlim(xticks[0] - 2, xticks[-1] + 2)
-    ax.legend(loc='lower center', ncol=4, bbox_to_anchor=(0.5, 1),
-              frameon=False, columnspacing=1, handletextpad=0.5)
     if thresholds:
         for label, col in OASIS_THRESHOLDS.items():
             if col not in columns:
@@ -360,8 +374,6 @@ def plot_oasis_curves(curves, path: str, groupby: Optional[str] = None,
             dx, ha = (-0.6, 'right') if label == 'strict' else (0.6, 'left')
             ax.text(tx + dx, ylim[0] + 0.03, label, rotation=90,
                     color='#111111', ha=ha)
-    fig.savefig(path, dpi=150, bbox_inches='tight')
-    plt.close(fig)
 
 
 def plot_oasis_curve_and_barplots(curves, groupby: str, path: str,
@@ -377,19 +389,7 @@ def plot_oasis_curve_and_barplots(curves, groupby: str, path: str,
     fig, axes = plt.subplots(
         1, ncol, figsize=(13.5, 4.5),
         gridspec_kw=dict(width_ratios=[3.5] + [1] * len(OASIS_THRESHOLDS)))
-    # reuse the single-plot routine on the first axis via a temp figure is
-    # wasteful; draw inline instead
-    columns = [c for c in curves.columns if '%' in c and c != '0%']
-    grouped = curves.groupby(groupby)
-    mean = grouped.mean(numeric_only=True)[columns]
-    x = np.arange(len(columns))
-    for g in groups:
-        c = colors[g] if colors else None
-        axes[0].plot(x, mean.loc[g].to_numpy(dtype=float), label=str(g),
-                     color=c, lw=1.5)
-    axes[0].set_xlabel('Human subject prevalence threshold')
-    axes[0].set_ylabel('OASis identity')
-    axes[0].set_ylim(0, 1)
+    _draw_oasis_curves(axes[0], curves, groupby=groupby, colors=colors)
     axes[0].legend(loc='upper center', ncol=3, bbox_to_anchor=(0.5, -0.15),
                    frameon=False)
     for i, (label, col) in enumerate(OASIS_THRESHOLDS.items()):

@@ -201,9 +201,14 @@ def graft_seq(seq: str, group: Optional[str] = None,
     from . import align as AL
     from . import imgt as IMGT
     if group is None:
-        group, _, _ = AL.detect_chain_type(seq)
-        if group == 'VHH':
+        group, profile, _ = AL.detect_chain_type(seq)
+        if profile == 'VHH':
             group = 'H'
+        elif group == 'H' and profile == 'H':
+            # same guard as pair_input/GridChain: a light chain whose best
+            # NW profile mis-scores as heavy must not be grafted against the
+            # heavy V library; callers pass group explicitly for heavies
+            pass
     heavy = group == 'H'
     placed = IMGT.grid_string(seq, heavy=heavy, chain_hint=group)
     if placed is None:
@@ -217,19 +222,27 @@ def graft_seq(seq: str, group: Optional[str] = None,
             'v_gene': res['v_gene'], 'j_gene': res['j_gene']}
 
 
-def germline_fr_identity(seq: str, group: Optional[str] = None) -> float:
-    """FR identity between a chain and its own germline graft
-    (patent_eval.cal_group_fr_germline_identity, :203-213: chain vs
-    graft_cdrs_onto_human_germline under cal_fr_preservation)."""
-    res = graft_seq(seq, group)
-    par, g = res['parental_grid'], res['grid']
-    heavy = (group or ('H' if len(par) == C.HEAVY_LEN else 'K')) == 'H'
-    fr = ~_cdr_mask(len(par) == C.HEAVY_LEN)
-    del heavy
+def fr_identity_grid(par: np.ndarray, group: str) -> float:
+    """FR identity between a gridded chain and its own germline graft —
+    the ONE implementation behind both germline_fr_identity (sequence
+    surface) and eval.metrics.germline_identity (GridChain surface)
+    (patent_eval.cal_group_fr_germline_identity, :203-213)."""
+    par = np.asarray(par)
+    g = graft_cdrs(par, group)['grid']
+    fr = ~_cdr_mask(heavy=group == 'H')
     occ = fr & ((par != '-') | (g != '-'))
     if occ.sum() == 0:
         return 0.0
     return float((par[occ] == g[occ]).mean())
+
+
+def germline_fr_identity(seq: str, group: Optional[str] = None) -> float:
+    """Sequence-level wrapper over fr_identity_grid."""
+    res = graft_seq(seq, group)
+    par = res['parental_grid']
+    return fr_identity_grid(par,
+                            'H' if len(par) == C.HEAVY_LEN
+                            else (group or 'K'))
 
 
 def cdr_pair_grafting(h_seq: str, l_seq: str, back_mutation: bool = False

@@ -85,7 +85,8 @@ def pair_input(h_seq: str, l_seq: str, finetune: bool = False
     # scan sampler compiles ONCE per mode instead of per masked-count
     return {'tokens': src, 'clean': tokens, 'region': region, 'chain': chain,
             'positions': positions, 'pad_to': int(np.count_nonzero(cdr == 0)),
-            'aho_h': h['aho'], 'aho_l': l['aho']}
+            'aho_h': h['aho'], 'aho_l': l['aho'],
+            'h_grid': h['grid'], 'l_grid': l['grid'], 'l_group': l_group}
 
 
 def pair_inpaint_input(h_seq: str, l_seq: str
@@ -95,50 +96,48 @@ def pair_inpaint_input(h_seq: str, l_seq: str
     germline (numbering/germline.py), freeze the framework slots where the
     parental residue already equals the germline, and resample every other
     framework slot. Falls back to the chain-type consensus as the template
-    when the germline graft is unavailable for a chain."""
-    from ..eval.metrics import GridChain, germline_graft
+    when the germline graft is unavailable for a chain.
+
+    Reuses the grids pair_input already aligned — no second alignment pass.
+    """
     from ..numbering import consensus as CONS
+    from ..numbering import germline as G
     base = pair_input(h_seq, l_seq, finetune=False)
     if base is None:
         return None
-    try:
-        h_par = GridChain(h_seq, True, 'H')
-        l_group, _, _ = AL.detect_chain_type(l_seq)
-        if l_group == 'H':
-            l_group = 'K'  # same forced-kappa choice as pair_input
-        l_par = GridChain(l_seq, False, l_group)
-    except ValueError:
-        return None
+    h_grid = np.asarray(list(base['h_grid']))
+    l_grid = np.asarray(list(base['l_grid']))
+    l_group = base['l_group']
 
-    def consensus_identity_slots(par: GridChain, profile: str) -> np.ndarray:
+    def consensus_identity_slots(grid: np.ndarray, aho: str,
+                                 profile: str) -> np.ndarray:
         """Fallback template: grid slots where the parental residue equals
         the chain-type consensus at the same AHo column (both AHo-aligned,
         so columns correspond; the k-th residue of the AHo alignment
         occupies the k-th occupied grid slot)."""
-        par_aho = np.asarray(list(par.aho))
+        par_aho = np.asarray(list(aho))
         cons_arr = np.asarray(list(CONS.CONSENSUS[profile][0]))
         identity_aho = par_aho == cons_arr
-        occ_slots = np.nonzero(par.grid != '-')[0]
+        occ_slots = np.nonzero(grid != '-')[0]
         res_cols = np.nonzero(par_aho != '-')[0]
         n = min(len(occ_slots), len(res_cols))
-        ident_grid = np.zeros(len(par.grid), bool)
+        ident_grid = np.zeros(len(grid), bool)
         ident_grid[occ_slots[:n]] = identity_aho[res_cols[:n]]
         return ident_grid
 
-    def identity_slots(par: GridChain, profile: str) -> np.ndarray:
+    def identity_slots(grid: np.ndarray, aho: str, group: str,
+                       profile: str) -> np.ndarray:
         """Frozen slots: parental residue equals its germline graft
         (reference graft_chain identity_pos_list, sample.py:217-226)."""
         try:
-            g = germline_graft(par)['grid']
+            g = G.graft_cdrs(grid, group)['grid']
         except ValueError:
-            return consensus_identity_slots(par, profile)
-        return (par.grid == g) & (par.grid != '-')
+            return consensus_identity_slots(grid, aho, profile)
+        return (grid == g) & (grid != '-')
 
-    # template profile must match the group the grid was aligned with —
-    # the raw detected profile can be 'H'/'VHH' for a mis-detected light
-    # chain, which would compare a kappa alignment to the heavy consensus
-    identity = np.concatenate([identity_slots(h_par, 'H'),
-                               identity_slots(l_par, l_group)])
+    identity = np.concatenate([
+        identity_slots(h_grid, base['aho_h'], 'H', 'H'),
+        identity_slots(l_grid, base['aho_l'], l_group, l_group)])
 
     cdr = np.concatenate([C.HEAVY_CDR_INDEX, C.LIGHT_CDR_INDEX])
     # resample every framework slot not frozen by template identity —
@@ -459,6 +458,32 @@ class NanoHumanizer:
 # CLI
 # ---------------------------------------------------------------------------
 
+
+def collect_unique(sample_fn, target: int, max_retry: int):
+    """Resample until ``target`` unique candidates or the retry cap
+    (reference loops to N distinct, sample.py:181-217).
+
+    ``sample_fn() -> list-of-candidates | None`` (None = alignment/validity
+    failure for the round). Returns ``(unique, failed)`` — the shared
+    semantics behind the CLI loops, the Python api, and the HTTP service.
+    """
+    unique: list = []
+    seen: set = set()
+    failed = False
+    for _ in range(max_retry):
+        cands = sample_fn()
+        if cands is None:
+            failed = True
+            break
+        for c in cands:
+            if c not in seen and len(unique) < target:
+                seen.add(c)
+                unique.append(c)
+        if len(unique) >= target:
+            break
+    return unique, failed
+
+
 def _write_csv_header(path: str) -> None:
     with open(path, 'w', encoding='UTF-8') as f:
         f.write('Specific,name,hseq,lseq,\n')
@@ -502,25 +527,17 @@ def run_ab(args) -> str:
         with open(save_fpath, 'a', encoding='UTF-8') as f:
             f.write(f'mouse,{name},{h_seq},{l_seq}\n')
         # resample with fresh orders until --sample-number unique candidates
-        # or the retry cap (reference loops until N distinct, sample.py:181-217)
-        unique: list = []
-        seen = set()
-        failed = False
-        target = 1 if args.similarity_search else args.sample_number
-        for _ in range(args.max_retry):
+        # or the retry cap
+        def round_fn():
             res = hum(h_seq, l_seq, finetune=finetune,
                       inpaint=args.sample_method == 'inpaint')
             if res is None:
-                failed = True
-                break
-            cands = ([res['best']] if args.similarity_search
-                     else list(zip(res['h_seqs'], res['l_seqs'])))
-            for cand in cands:
-                if cand not in seen and len(unique) < target:
-                    seen.add(cand)
-                    unique.append(cand)
-            if len(unique) >= target:
-                break
+                return None
+            return ([res['best']] if args.similarity_search
+                    else list(zip(res['h_seqs'], res['l_seqs'])))
+
+        target = 1 if args.similarity_search else args.sample_number
+        unique, failed = collect_unique(round_fn, target, args.max_retry)
         if failed and not unique:
             logger.warning('could not align %s; skipped', name)
             continue
@@ -616,24 +633,15 @@ def run_nano(args) -> str:
         with open(save_fpath, 'a', encoding='UTF-8') as f:
             f.write(f'camel,{name},{seq}\n')
         # resample until --sample-number unique candidates or the retry cap
-        # (reference sample_for_nano_cdr.py:167-201 loops to N distinct)
-        unique: list = []
-        seen = set()
-        failed = False
-        target = 1 if args.similarity_search else args.sample_number
-        for _ in range(args.max_retry):
+        def round_fn():
             res = hum(seq, finetune=finetune,
                       inpaint=args.sample_method == 'inpaint')
             if res is None:
-                failed = True
-                break
-            cands = [res['best']] if args.similarity_search else res['seqs']
-            for s in cands:
-                if s not in seen and len(unique) < target:
-                    seen.add(s)
-                    unique.append(s)
-            if len(unique) >= target:
-                break
+                return None
+            return [res['best']] if args.similarity_search else res['seqs']
+
+        target = 1 if args.similarity_search else args.sample_number
+        unique, failed = collect_unique(round_fn, target, args.max_retry)
         if failed and not unique:
             logger.warning('could not align/humanize %s; skipped', name)
             continue

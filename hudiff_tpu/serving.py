@@ -74,44 +74,41 @@ class HumanizationService:
                     method: str = 'FR', max_retry: int = 8) -> Dict:
         if self.ab is None:
             raise ValueError('no antibody checkpoint loaded')
-        unique: list = []
-        seen: set = set()
+        from .sampling.humanize import collect_unique
+
+        def round_fn():
+            res = self.ab(h_seq, l_seq, finetune=self.ab_finetuned,
+                          inpaint=method == 'inpaint')
+            if res is None:
+                return None
+            return (list(zip(res['h_seqs'], res['l_seqs']))
+                    if sample_number > 1 else [res['best']])
+
         with self._lock:
-            for _ in range(max_retry):
-                res = self.ab(h_seq, l_seq, finetune=self.ab_finetuned,
-                              inpaint=method == 'inpaint')
-                if res is None:
-                    raise ValueError('chains did not align to the IMGT grid')
-                cands = (list(zip(res['h_seqs'], res['l_seqs']))
-                         if sample_number > 1 else [res['best']])
-                for cand in cands:
-                    if cand not in seen and len(unique) < sample_number:
-                        seen.add(cand)
-                        unique.append(cand)
-                if len(unique) >= sample_number:
-                    break
+            unique, failed = collect_unique(round_fn, sample_number,
+                                            max_retry)
+        if failed and not unique:
+            raise ValueError('chains did not align to the IMGT grid')
         return {'candidates': [{'h_seq': h, 'l_seq': l} for h, l in unique]}
 
     def humanize_nano(self, vhh_seq: str, sample_number: int = 1,
                       method: str = 'FR', max_retry: int = 8) -> Dict:
         if self.nano is None:
             raise ValueError('no nanobody checkpoint loaded')
-        unique: list = []
-        seen: set = set()
+        from .sampling.humanize import collect_unique
+
+        def round_fn():
+            res = self.nano(vhh_seq, finetune=self.nano_finetuned,
+                            inpaint=method == 'inpaint')
+            if res is None:
+                return None
+            return res['seqs'] if sample_number > 1 else [res['best']]
+
         with self._lock:
-            for _ in range(max_retry):
-                res = self.nano(vhh_seq, finetune=self.nano_finetuned,
-                                inpaint=method == 'inpaint')
-                if res is None:
-                    raise ValueError('sequence did not align / no valid '
-                                     'candidates')
-                cands = (res['seqs'] if sample_number > 1 else [res['best']])
-                for cand in cands:
-                    if cand not in seen and len(unique) < sample_number:
-                        seen.add(cand)
-                        unique.append(cand)
-                if len(unique) >= sample_number:
-                    break
+            unique, failed = collect_unique(round_fn, sample_number,
+                                            max_retry)
+        if failed and not unique:
+            raise ValueError('sequence did not align / no valid candidates')
         return {'candidates': [{'vhh_seq': s} for s in unique]}
 
     def graft(self, h_seq: str, l_seq: str,
