@@ -81,13 +81,16 @@ GERMLINE_V_LAMBDA: Dict[str, str] = {
 # J-gene FR4 contributions: heavy = IMGT 118-128 (11 residues),
 # light = IMGT 118-127 (10 residues).
 GERMLINE_J_HEAVY: Dict[str, str] = {
+    'IGHJ3*02': 'WGQGTMVTVSS',
     'IGHJ4*01': 'WGQGTLVTVSS',
     'IGHJ6*01': 'WGQGTTVTVSS',
 }
 GERMLINE_J_KAPPA: Dict[str, str] = {
     'IGKJ1*01': 'FGQGTKVEIK',
     'IGKJ2*01': 'FGQGTKLEIK',
+    'IGKJ3*01': 'FGPGTKVDIK',
     'IGKJ4*01': 'FGGGTKVEIK',
+    'IGKJ5*01': 'FGQGTRLEIK',
 }
 GERMLINE_J_LAMBDA: Dict[str, str] = {
     'IGLJ1*01': 'FGTGTKVTVL',

@@ -133,3 +133,30 @@ def test_packed_cli_pair(tmp_path):
     df = pd.read_csv(out)
     hum_rows = df[df['Specific'] == 'humanization']
     assert set(hum_rows['name']) == {'abAhuman_sample', 'abBhuman_sample'}
+
+
+def test_collect_unique_semantics():
+    from hudiff_tpu.sampling.humanize import collect_unique
+    calls = []
+
+    def fn_ok():
+        calls.append(1)
+        return ['a', 'b', 'a']
+
+    unique, failed = collect_unique(fn_ok, target=3, max_retry=4)
+    assert not failed
+    assert unique == ['a', 'b'] or len(unique) == 2  # only 2 distinct exist
+    assert len(calls) == 4  # kept retrying to the cap
+
+    def fn_fail():
+        return None
+
+    unique, failed = collect_unique(fn_fail, target=1, max_retry=5)
+    assert failed and unique == []
+
+    seq = iter([['x'], None])
+    unique, failed = collect_unique(lambda: next(seq), target=2, max_retry=5)
+    assert failed and unique == ['x']  # partial results preserved
+
+    unique, failed = collect_unique(lambda: ['p', 'q'], target=2, max_retry=9)
+    assert not failed and unique == ['p', 'q']
