@@ -520,6 +520,7 @@ def run_ab(args) -> str:
 
     if len(pairs) > 1:
         _packed_pair_loop(hum, pairs, finetune, args, logger, save_fpath)
+        _ab_epilogue(save_fpath, args, logger)
         logger.info('results: %s', save_fpath)
         return save_fpath
 
@@ -545,8 +546,33 @@ def run_ab(args) -> str:
             for g_h, g_l in unique:
                 f.write(f'humanization,{name}human_sample,{g_h},{g_l}\n')
         logger.info('humanized %s (%d candidates)', name, len(unique))
+    _ab_epilogue(save_fpath, args, logger)
     logger.info('results: %s', save_fpath)
     return save_fpath
+
+
+def _ab_epilogue(save_fpath: str, args, logger) -> None:
+    """Post-run exports (reference sample.py:579-588): a paired FASTA for
+    BioPhi OASis next to the CSV, and per-antibody FASTAs for structure
+    prediction when --structure-fasta is set."""
+    from ..eval import biophi as BP
+    base = os.path.dirname(save_fpath)
+    try:
+        BP.sample_csv_to_fasta(save_fpath,
+                               os.path.join(base, 'sample_identity.fa'),
+                               version=args.fa_version)
+    except Exception as e:  # noqa: BLE001 - exports must not kill the run
+        logger.warning('fasta export failed: %s', e)
+        return
+    if getattr(args, 'structure_fasta', False):
+        import pandas as pd
+        fa_dir = os.path.join(base, 'sample_human_fa')
+        os.makedirs(fa_dir, exist_ok=True)
+        df = pd.read_csv(save_fpath)
+        human = df[df['Specific'] == 'humanization'].reset_index(drop=True)
+        for i, r in human.iterrows():
+            BP.write_pair_fasta([(str(r['name']), r['hseq'], r['lseq'])],
+                                os.path.join(fa_dir, f'human_{i}.fasta'))
 
 
 def _packed_pair_loop(hum: PairHumanizer, pairs, finetune: bool, args,
@@ -715,6 +741,12 @@ def main(argv=None):
                        action='store_false')
         q.add_argument('--logdir', default='./logs')
         q.add_argument('--fp32', action='store_true')
+        q.add_argument('--fa-version', default='v001',
+                       help='name prefix for the exported BioPhi FASTA '
+                            '(reference --fa_version)')
+        q.add_argument('--structure-fasta', action='store_true',
+                       help='also split per-antibody FASTAs for structure '
+                            'prediction (reference --structure)')
         q.add_argument('--positions-per-step', type=int, default=1,
                        help='resample k positions per forward (k>1 = the '
                             'OA-ARDM within-step-independence acceleration, '
@@ -738,8 +770,11 @@ def main(argv=None):
     # model-free classic CDR-graft baseline (reference cdr_pair_grafting,
     # sample.py:370-376): germline FRs + parental CDRs, no diffusion model
     g = sub.add_parser('graft')
-    g.add_argument('--hseq', required=True)
-    g.add_argument('--lseq', required=True)
+    g.add_argument('--hseq', default=None)
+    g.add_argument('--lseq', default=None)
+    g.add_argument('--data-fpath', default=None,
+                   help='CSV of mouse pairs: graft the whole dataset '
+                        '(reference --traditional_method, sample.py:370-376)')
     g.add_argument('--back-mutation', action='store_true',
                    help='back-mutate Kabat vernier-zone residues to parental')
     g.add_argument('--output', default=None, help='CSV path (default stdout)')
@@ -754,15 +789,34 @@ def main(argv=None):
 
 def run_graft(args):
     from ..numbering import germline as G
-    h, l = G.cdr_pair_grafting(args.hseq, args.lseq,
-                               back_mutation=args.back_mutation)
-    line = f'Specific,name,hseq,lseq\ncdr_graft,graft_sample,{h},{l}\n'
+    rows = []
+    if args.data_fpath:
+        import pandas as pd
+        df = pd.read_csv(args.data_fpath)
+        mouse = df[df['type'] == 'mouse'] if 'type' in df.columns else df
+        for r in mouse.itertuples():
+            name = str(r.name)
+            try:
+                h, l = G.cdr_pair_grafting(r.h_seq, r.l_seq,
+                                           back_mutation=args.back_mutation)
+            except ValueError:
+                continue
+            rows.append(('mouse', name, r.h_seq, r.l_seq))
+            rows.append(('humanization', f'{name}human_sample', h, l))
+    elif args.hseq and args.lseq:
+        h, l = G.cdr_pair_grafting(args.hseq, args.lseq,
+                                   back_mutation=args.back_mutation)
+        rows.append(('cdr_graft', 'graft_sample', h, l))
+    else:
+        raise SystemExit('graft needs --hseq/--lseq or --data-fpath')
+    text = 'Specific,name,hseq,lseq\n' + ''.join(
+        f'{a},{b},{c},{d}\n' for a, b, c, d in rows)
     if args.output:
         with open(args.output, 'w') as f:
-            f.write(line)
+            f.write(text)
         print(args.output)
         return args.output
-    print(line, end='')
+    print(text, end='')
     return None
 
 
