@@ -114,3 +114,35 @@ def test_inpaint_input_uses_germline_identity():
     # non-identity FR slots are masked for resampling
     resample = ~identity & ~cdr_h
     assert (toks[resample] == C.IDX_MSK).all()
+
+
+HUAB348 = ('/root/reference/data/antibody_eval_data/HuAb348_data/'
+           'humanization_pair_data_filter.csv')
+
+
+@pytest.mark.skipif(not __import__('os').path.exists(HUAB348),
+                    reason='reference eval data not mounted')
+def test_library_separates_human_from_mouse_on_huab348():
+    """Across the full HuAb348 set, experimentally humanized antibodies must
+    score materially higher germline FR identity than their mouse parentals
+    — the library's discriminative power on real data, not just fixtures."""
+    import pandas as pd
+    from hudiff_tpu.eval import harness as H
+    ref = pd.read_csv(HUAB348)
+    mouse = ref[ref['type'] == 'mouse'].reset_index(drop=True)
+    exp_by = H._exp_by_mouse_name(mouse,
+                                  ref[ref['type'] == 'humanized'])
+    m_scores, e_scores = [], []
+    for _, r in mouse.iterrows():
+        name = str(r['name'])
+        if name not in exp_by:
+            continue
+        try:
+            m_scores.append(G.germline_fr_identity(r['h_seq'], 'H'))
+            e_scores.append(G.germline_fr_identity(exp_by[name][0], 'H'))
+        except ValueError:
+            continue
+    assert len(m_scores) > 250
+    m_mean, e_mean = np.mean(m_scores), np.mean(e_scores)
+    assert e_mean > 0.85          # humanized frameworks are near-germline
+    assert m_mean < e_mean - 0.1  # clear separation from mouse
