@@ -252,6 +252,21 @@ def load_denoiser(ckpt_path: str, kind: str, use_bf16: bool = True):
 # Batched humanization
 # ---------------------------------------------------------------------------
 
+
+def _bucket_order_width(k_used: int, cap: int) -> int:
+    """Static order width for the jitted scan: the batch's real masked-slot
+    maximum rounded up to a multiple of 32, capped at the mode maximum.
+
+    The scan pays one FULL forward per order column, padded or not — an
+    inpaint run that only resamples ~55 slots must not execute the FR
+    mode's 185 steps. Bucketing keeps the compile count bounded (<=6
+    variants per mode) while skipping the no-op tail.
+    """
+    if k_used >= cap:
+        return cap
+    return min(cap, ((max(k_used, 1) + 31) // 32) * 32)
+
+
 def _maybe_mesh(shard: bool):
     """('data', 'model'=1) mesh over all devices when sharding is requested
     and more than one device exists; sharding never changes sampled tokens."""
@@ -286,7 +301,9 @@ class PairHumanizer:
         chain = jnp.asarray(np.tile(inp['chain'], (B, 1)))
         self.rng, r_ord, r_samp = jax.random.split(self.rng, 3)
         order = S.build_order(inp['positions'], B, rng=r_ord,
-                              shuffle=self.shuffle, pad_to=inp.get('pad_to'))
+                              shuffle=self.shuffle,
+                              pad_to=_bucket_order_width(
+                                  len(inp['positions']), inp['pad_to']))
         out = np.asarray(self.run(tokens, region, chain, order, r_samp))
         h_seqs = [_TOK.idx2seq(row[: C.HEAVY_LEN]) for row in out]
         l_seqs = [_TOK.idx2seq(row[C.HEAVY_LEN:]) for row in out]
@@ -334,8 +351,10 @@ class PairHumanizer:
             if inp is None:
                 continue
             stream.extend([(i, inp)] * rows_per_input)
-        pad_to = max((inp['pad_to'] for inp in inputs if inp is not None),
-                     default=0)
+        live = [inp for inp in inputs if inp is not None]
+        pad_to = _bucket_order_width(
+            max((len(inp['positions']) for inp in live), default=0),
+            max((inp['pad_to'] for inp in live), default=1))
         grids: Dict[int, List[np.ndarray]] = {}
         B = self.device_batch
         for s in range(0, len(stream), B):
@@ -396,8 +415,10 @@ class NanoHumanizer:
             if inp is None:
                 continue
             stream.extend([(i, inp)] * rows_per_input)
-        pad_to = max((inp['pad_to'] for inp in inputs if inp is not None),
-                     default=0)
+        live = [inp for inp in inputs if inp is not None]
+        pad_to = _bucket_order_width(
+            max((len(inp['positions']) for inp in live), default=0),
+            max((inp['pad_to'] for inp in live), default=1))
         grids: Dict[int, List[np.ndarray]] = {}
         B = self.device_batch
         for st in range(0, len(stream), B):
@@ -437,7 +458,8 @@ class NanoHumanizer:
             self.rng, r_ord, r_samp = jax.random.split(self.rng, 3)
             order = S.build_order(inp['positions'], B, rng=r_ord,
                                   shuffle=self.shuffle,
-                                  pad_to=inp.get('pad_to'))
+                                  pad_to=_bucket_order_width(
+                                      len(inp['positions']), inp['pad_to']))
             out = np.asarray(self.run(tokens, region, order, r_samp))
             seqs = [_TOK.idx2seq(row) for row in out]
             # validity retry (reference nanosample.py:338-353): sequences must

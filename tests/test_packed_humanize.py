@@ -160,3 +160,35 @@ def test_collect_unique_semantics():
 
     unique, failed = collect_unique(lambda: ['p', 'q'], target=2, max_retry=9)
     assert not failed and unique == ['p', 'q']
+
+
+def test_bucket_order_width():
+    from hudiff_tpu.sampling.humanize import _bucket_order_width
+    assert _bucket_order_width(55, 185) == 64
+    assert _bucket_order_width(64, 185) == 64
+    assert _bucket_order_width(65, 185) == 96
+    assert _bucket_order_width(185, 185) == 185
+    assert _bucket_order_width(300, 185) == 185  # capped at mode max
+    assert _bucket_order_width(0, 185) == 32
+    assert _bucket_order_width(1, 20) == 20      # cap below one bucket
+
+
+def test_inpaint_uses_short_scan(pair_hum, monkeypatch):
+    """Inpaint masks far fewer slots than the FR cap; the humanizer must
+    build a bucketed (short) order, not the 185-wide mode maximum."""
+    widths = []
+    orig = S.build_order
+
+    def spy(pos, batch, rng=None, shuffle=True, pad_to=None):
+        widths.append(pad_to)
+        return orig(pos, batch, rng=rng, shuffle=shuffle, pad_to=pad_to)
+
+    monkeypatch.setattr(S, 'build_order', spy)
+    res = pair_hum(H1, L1, inpaint=True)
+    assert res is not None
+    n_pos = len(H.pair_inpaint_input(H1, L1)['positions'])
+    assert widths[-1] < 185
+    assert widths[-1] >= n_pos
+    assert widths[-1] % 32 == 0 or widths[-1] == 185
+    # all masked slots still resampled
+    assert (res['grids'] != C.IDX_MSK).all()
