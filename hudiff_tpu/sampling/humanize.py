@@ -253,6 +253,24 @@ def load_denoiser(ckpt_path: str, kind: str, use_bf16: bool = True):
 # ---------------------------------------------------------------------------
 
 
+def load_mouse_pairs(data_fpath: str):
+    """(name, h_seq, l_seq) rows from a mouse-pair CSV (shared by the model
+    CLI and the graft baseline). Rows with missing/NaN sequences are
+    skipped, matching the model path's skip-on-unalignable behavior."""
+    import pandas as pd
+    df = pd.read_csv(data_fpath)
+    mouse = df[df['type'] == 'mouse'] if 'type' in df.columns else df
+    out = []
+    for i, r in enumerate(mouse.itertuples()):
+        name = str(getattr(r, 'name', i))
+        h = getattr(r, 'h_seq', None)
+        l = getattr(r, 'l_seq', None)
+        if not isinstance(h, str) or not isinstance(l, str):
+            continue
+        out.append((name, h, l))
+    return out
+
+
 def _bucket_order_width(k_used: int, cap: int) -> int:
     """Static order width for the jitted scan: the batch's real masked-slot
     maximum rounded up to a multiple of 32, capped at the mode maximum.
@@ -265,6 +283,14 @@ def _bucket_order_width(k_used: int, cap: int) -> int:
     if k_used >= cap:
         return cap
     return min(cap, ((max(k_used, 1) + 31) // 32) * 32)
+
+
+def _packed_pad_to(inputs) -> int:
+    """Bucketed static order width for a packed batch."""
+    live = [inp for inp in inputs if inp is not None]
+    return _bucket_order_width(
+        max((len(inp['positions']) for inp in live), default=0),
+        max((inp['pad_to'] for inp in live), default=1))
 
 
 def _maybe_mesh(shard: bool):
@@ -336,7 +362,8 @@ class PairHumanizer:
         return np.asarray(out)[:n]
 
     def humanize_many(self, inputs: List[Optional[Dict]],
-                      rows_per_input: int) -> List[Optional[Dict]]:
+                      rows_per_input: int,
+                      pad_to: Optional[int] = None) -> List[Optional[Dict]]:
         """Packed dataset-scale humanization: every antibody gets
         ``rows_per_input`` candidate rows, and rows from many antibodies
         share device programs of size ``batch_size``.
@@ -351,10 +378,7 @@ class PairHumanizer:
             if inp is None:
                 continue
             stream.extend([(i, inp)] * rows_per_input)
-        live = [inp for inp in inputs if inp is not None]
-        pad_to = _bucket_order_width(
-            max((len(inp['positions']) for inp in live), default=0),
-            max((inp['pad_to'] for inp in live), default=1))
+        pad_to = pad_to or _packed_pad_to(inputs)
         grids: Dict[int, List[np.ndarray]] = {}
         B = self.device_batch
         for s in range(0, len(stream), B):
@@ -407,7 +431,8 @@ class NanoHumanizer:
         return np.asarray(out)[:n]
 
     def humanize_many(self, inputs: List[Optional[Dict]],
-                      rows_per_input: int) -> List[Optional[Dict]]:
+                      rows_per_input: int,
+                      pad_to: Optional[int] = None) -> List[Optional[Dict]]:
         """Packed dataset-scale humanization with the nanobody validity
         filter applied per antibody (reference nanosample.py:338-353)."""
         stream: List[Tuple[int, Dict]] = []
@@ -415,10 +440,7 @@ class NanoHumanizer:
             if inp is None:
                 continue
             stream.extend([(i, inp)] * rows_per_input)
-        live = [inp for inp in inputs if inp is not None]
-        pad_to = _bucket_order_width(
-            max((len(inp['positions']) for inp in live), default=0),
-            max((inp['pad_to'] for inp in live), default=1))
+        pad_to = pad_to or _packed_pad_to(inputs)
         grids: Dict[int, List[np.ndarray]] = {}
         B = self.device_batch
         for st in range(0, len(stream), B):
@@ -536,9 +558,7 @@ def run_ab(args) -> str:
     elif args.hseq and args.lseq:
         pairs = [('input', args.hseq, args.lseq)]
     else:
-        df = pd.read_csv(args.data_fpath)
-        mouse = df[df['type'] == 'mouse'] if 'type' in df.columns else df
-        pairs = [(str(r.name), r.h_seq, r.l_seq) for r in mouse.itertuples()]
+        pairs = load_mouse_pairs(args.data_fpath)
 
     if len(pairs) > 1:
         _packed_pair_loop(hum, pairs, finetune, args, logger, save_fpath)
@@ -585,16 +605,20 @@ def _ab_epilogue(save_fpath: str, args, logger) -> None:
                                version=args.fa_version)
     except Exception as e:  # noqa: BLE001 - exports must not kill the run
         logger.warning('fasta export failed: %s', e)
-        return
     if getattr(args, 'structure_fasta', False):
-        import pandas as pd
-        fa_dir = os.path.join(base, 'sample_human_fa')
-        os.makedirs(fa_dir, exist_ok=True)
-        df = pd.read_csv(save_fpath)
-        human = df[df['Specific'] == 'humanization'].reset_index(drop=True)
-        for i, r in human.iterrows():
-            BP.write_pair_fasta([(str(r['name']), r['hseq'], r['lseq'])],
-                                os.path.join(fa_dir, f'human_{i}.fasta'))
+        try:
+            import pandas as pd
+            fa_dir = os.path.join(base, 'sample_human_fa')
+            os.makedirs(fa_dir, exist_ok=True)
+            df = pd.read_csv(save_fpath)
+            human = df[df['Specific'] == 'humanization'].reset_index(
+                drop=True)
+            for i, r in human.iterrows():
+                BP.write_pair_fasta(
+                    [(str(r['name']), r['hseq'], r['lseq'])],
+                    os.path.join(fa_dir, f'human_{i}.fasta'))
+        except Exception as e:  # noqa: BLE001
+            logger.warning('structure fasta export failed: %s', e)
 
 
 def _packed_pair_loop(hum: PairHumanizer, pairs, finetune: bool, args,
@@ -613,13 +637,18 @@ def _packed_pair_loop(hum: PairHumanizer, pairs, finetune: bool, args,
     target = 1 if args.similarity_search else args.sample_number
     unique: List[list] = [[] for _ in range(n)]
     seen: List[set] = [set() for _ in range(n)]
+    # one static scan width for the WHOLE run: recomputing per retry round
+    # over the shrinking active set would trigger mid-run recompiles just to
+    # trim a few no-op steps
+    run_pad_to = _packed_pad_to(inputs)
     for _ in range(args.max_retry):
         active = [i for i in range(n)
                   if inputs[i] is not None and len(unique[i]) < target]
         if not active:
             break
         results = hum.humanize_many([inputs[i] for i in active],
-                                    rows_per_input=args.batch_size)
+                                    rows_per_input=args.batch_size,
+                                    pad_to=run_pad_to)
         for i, res in zip(active, results):
             if res is None:
                 continue
@@ -713,13 +742,18 @@ def _packed_nano_loop(hum: NanoHumanizer, rows, finetune: bool, args,
     target = 1 if args.similarity_search else args.sample_number
     unique: List[list] = [[] for _ in range(n)]
     seen: List[set] = [set() for _ in range(n)]
+    # one static scan width for the WHOLE run: recomputing per retry round
+    # over the shrinking active set would trigger mid-run recompiles just to
+    # trim a few no-op steps
+    run_pad_to = _packed_pad_to(inputs)
     for _ in range(args.max_retry):
         active = [i for i in range(n)
                   if inputs[i] is not None and len(unique[i]) < target]
         if not active:
             break
         results = hum.humanize_many([inputs[i] for i in active],
-                                    rows_per_input=args.batch_size)
+                                    rows_per_input=args.batch_size,
+                                    pad_to=run_pad_to)
         for i, res in zip(active, results):
             if res is None:
                 continue
@@ -763,12 +797,6 @@ def main(argv=None):
                        action='store_false')
         q.add_argument('--logdir', default='./logs')
         q.add_argument('--fp32', action='store_true')
-        q.add_argument('--fa-version', default='v001',
-                       help='name prefix for the exported BioPhi FASTA '
-                            '(reference --fa_version)')
-        q.add_argument('--structure-fasta', action='store_true',
-                       help='also split per-antibody FASTAs for structure '
-                            'prediction (reference --structure)')
         q.add_argument('--positions-per-step', type=int, default=1,
                        help='resample k positions per forward (k>1 = the '
                             'OA-ARDM within-step-independence acceleration, '
@@ -787,6 +815,13 @@ def main(argv=None):
         if name == 'ab':
             q.add_argument('--hseq', default=None)
             q.add_argument('--lseq', default=None)
+            q.add_argument('--fa-version', default='v001',
+                           help='name prefix for the exported BioPhi FASTA '
+                                '(reference --fa_version)')
+            q.add_argument('--structure-fasta', action='store_true',
+                           help='also split per-antibody FASTAs for '
+                                'structure prediction (reference '
+                                '--structure)')
         else:
             q.add_argument('--vhh-seq', default=None)
     # model-free classic CDR-graft baseline (reference cdr_pair_grafting,
@@ -813,17 +848,13 @@ def run_graft(args):
     from ..numbering import germline as G
     rows = []
     if args.data_fpath:
-        import pandas as pd
-        df = pd.read_csv(args.data_fpath)
-        mouse = df[df['type'] == 'mouse'] if 'type' in df.columns else df
-        for r in mouse.itertuples():
-            name = str(r.name)
+        for name, h_seq, l_seq in load_mouse_pairs(args.data_fpath):
             try:
-                h, l = G.cdr_pair_grafting(r.h_seq, r.l_seq,
+                h, l = G.cdr_pair_grafting(h_seq, l_seq,
                                            back_mutation=args.back_mutation)
-            except ValueError:
+            except Exception:  # noqa: BLE001 - skip unalignable rows
                 continue
-            rows.append(('mouse', name, r.h_seq, r.l_seq))
+            rows.append(('mouse', name, h_seq, l_seq))
             rows.append(('humanization', f'{name}human_sample', h, l))
     elif args.hseq and args.lseq:
         h, l = G.cdr_pair_grafting(args.hseq, args.lseq,

@@ -138,10 +138,12 @@ def test_library_separates_human_from_mouse_on_huab348():
         if name not in exp_by:
             continue
         try:
-            m_scores.append(G.germline_fr_identity(r['h_seq'], 'H'))
-            e_scores.append(G.germline_fr_identity(exp_by[name][0], 'H'))
+            m = G.germline_fr_identity(r['h_seq'], 'H')
+            e = G.germline_fr_identity(exp_by[name][0], 'H')
         except ValueError:
             continue
+        m_scores.append(m)  # append as a pair: a failure on either chain
+        e_scores.append(e)  # must not skew one population's mean
     assert len(m_scores) > 250
     m_mean, e_mean = np.mean(m_scores), np.mean(e_scores)
     assert e_mean > 0.85          # humanized frameworks are near-germline
