@@ -125,6 +125,10 @@ def make_jit_sampler(model, params, top: int = SAMPLE_TOP,
     batch is sharded over the 'data' axis and parameters are replicated, so
     one humanization round scales across chips — sharding never changes the
     sampled tokens, only where they're computed.
+
+    ``positions_per_step`` forwards to make_scan_sampler: 1 (default) is the
+    exact one-position-at-a-time reverse process; k>1 is the opt-in
+    within-step-independence acceleration (~k× fewer forwards).
     """
     if getattr(model, 'dtype', jnp.float32) == jnp.bfloat16:
         def cast(x):
