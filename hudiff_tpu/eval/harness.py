@@ -59,12 +59,15 @@ def _pairs_by_name(df, h_col: str = 'h_seq', l_col: str = 'l_seq'
     return {str(r['name']): (r[h_col], r[l_col]) for _, r in df.iterrows()}
 
 
-def _exp_by_mouse_name(mouse_df, exp_df) -> Dict[str, Tuple[str, str]]:
+def _exp_by_mouse_name(mouse_df, exp_df
+                       ) -> Tuple[Dict[str, Tuple[str, str]], str]:
     """Map parental mouse name -> experimental humanized pair.
 
     The HuAb348 CSV links the groups by ``order_name`` ('0_mouse' /
     '0_humanized'); fall back to positional pairing otherwise (the
-    reference pairs purely by position, patent_eval.py:288-291)."""
+    reference pairs purely by position, patent_eval.py:288-291) — but
+    loudly, since positional pairing misaligns every metric as soon as
+    one row is skipped. Returns ``(mapping, pairing_mode)``."""
     out: Dict[str, Tuple[str, str]] = {}
     if 'order_name' in mouse_df.columns and 'order_name' in exp_df.columns:
         exp_by_order = {str(r['order_name']).split('_')[0]:
@@ -73,12 +76,18 @@ def _exp_by_mouse_name(mouse_df, exp_df) -> Dict[str, Tuple[str, str]]:
             order = str(r['order_name']).split('_')[0]
             if order in exp_by_order:
                 out[str(r['name'])] = exp_by_order[order]
-    else:
-        n = min(len(mouse_df), len(exp_df))
-        for i in range(n):
-            out[str(mouse_df.iloc[i]['name'])] = (exp_df.iloc[i]['h_seq'],
-                                                  exp_df.iloc[i]['l_seq'])
-    return out
+        return out, 'order_name'
+    import warnings
+    warnings.warn(
+        'pair CSV has no order_name column: falling back to POSITIONAL '
+        'experimental pairing (row i of the mouse group <-> row i of the '
+        'humanized group). Any skipped row misaligns the precision metrics; '
+        'prefer an order_name column or --experimental-csv.', stacklevel=2)
+    n = min(len(mouse_df), len(exp_df))
+    for i in range(n):
+        out[str(mouse_df.iloc[i]['name'])] = (exp_df.iloc[i]['h_seq'],
+                                              exp_df.iloc[i]['l_seq'])
+    return out, 'positional'
 
 
 def _grid_pair(h_seq: str, l_seq: str
@@ -122,10 +131,12 @@ def eval_ab(sample_csv: str, pair_csv: str, out_path: Optional[str] = None,
         name_col = 'name' if 'name' in exp_df.columns else 'Raw_name'
         exp_by_name = {str(r[name_col]): (r['h_seq'], r['l_seq'])
                        for _, r in exp_df.iterrows()}
+        pairing_mode = 'experimental_csv'
     else:
-        exp_by_name = _exp_by_mouse_name(mouse, exp)
+        exp_by_name, pairing_mode = _exp_by_mouse_name(mouse, exp)
 
-    report: Dict[str, object] = {'n_samples': len(human)}
+    report: Dict[str, object] = {'n_samples': len(human),
+                                 'pairing': pairing_mode}
     matched = 0
     skipped_unmatched = 0
     skipped_unaligned = 0
@@ -232,11 +243,17 @@ def eval_ab(sample_csv: str, pair_csv: str, out_path: Optional[str] = None,
         means = []
         for _, (s_h, s_l), (m_h, m_l) in triples:
             try:
-                group = AL.detect_chain_type(s_l)[0]
+                group, margin = AL.classify_light(s_l)
             except ValueError:
                 continue
-            ckpt = abnativ_vlk if group != 'L' else abnativ_vll
-            mtype = 'VKappa' if group != 'L' else 'VLambda'
+            if margin < AL.LIGHT_MARGIN_AMBIGUOUS:
+                import warnings
+                warnings.warn(
+                    f'ambiguous light-chain type for AbNatiV scoring '
+                    f'(K-L margin {margin:.1f}); using {group}',
+                    stacklevel=2)
+            ckpt = abnativ_vlk if group == 'K' else abnativ_vll
+            mtype = 'VKappa' if group == 'K' else 'VLambda'
             if not ckpt:
                 continue
             sv = abnativ_scores_local([s_l], mtype, ckpt)[0]

@@ -27,9 +27,9 @@ class GridChain:
         self.seq = seq
         self.heavy = heavy
         if chain_hint is None and not heavy:
-            chain_hint, _, _ = AL.detect_chain_type(seq)
-            if chain_hint == 'H':
-                chain_hint = 'K'
+            # direct K-vs-L profile comparison (never 'H' for a declared
+            # light chain; low-margin lambda calls no longer forced kappa)
+            chain_hint, _ = AL.classify_light(seq)
         placed = IMGT.grid_string(seq, heavy=heavy,
                                   chain_hint=chain_hint or 'H')
         if placed is None:
@@ -174,8 +174,8 @@ def group_mutation_precision(exp_pairs, mouse_pairs, sample_pairs,
 def _chain_group(chain: GridChain) -> str:
     if chain.heavy:
         return 'H'
-    group, _, _ = AL.detect_chain_type(chain.seq)
-    return 'K' if group in ('H', 'VHH') else group
+    group, _ = AL.classify_light(chain.seq)
+    return group
 
 
 def germline_graft(chain: GridChain, backmutate_vernier: bool = False):

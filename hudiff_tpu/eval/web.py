@@ -71,10 +71,21 @@ SLEEP: Callable[[float], None] = time.sleep
 
 def _chain_type(seq: str) -> str:
     """'H' / 'K' / 'L' via the internal consensus aligner (the reference
-    derives it from abnumber's IMGT Chain)."""
+    derives it from abnumber's IMGT Chain). Light chains are typed by a
+    direct K-vs-L profile comparison; low-margin calls are surfaced with a
+    warning since they select which web database the score is fetched from."""
     from ..numbering import align as AL
     group, _, _ = AL.detect_chain_type(seq)
-    return group
+    if group == 'H':
+        return 'H'
+    lgroup, margin = AL.classify_light(seq)
+    if margin < AL.LIGHT_MARGIN_AMBIGUOUS:
+        import warnings
+        warnings.warn(
+            f'ambiguous light-chain type (K-L margin {margin:.1f}); web '
+            f'scores will be fetched against the {lgroup} database',
+            stacklevel=2)
+    return lgroup
 
 
 # ---------------------------------------------------------------------------

@@ -205,13 +205,16 @@ def graft_seq(seq: str, group: Optional[str] = None,
     from . import imgt as IMGT
     if group is None:
         group, profile, _ = AL.detect_chain_type(seq)
-        if profile == 'VHH':
-            group = 'H'
-        elif group == 'H' and profile == 'H':
-            # same guard as pair_input/GridChain: a light chain whose best
-            # NW profile mis-scores as heavy must not be grafted against the
-            # heavy V library; callers pass group explicitly for heavies
-            pass
+        if group != 'H':
+            # light chain: re-type by direct K-vs-L comparison and surface
+            # low-margin (borderline lambda) calls instead of trusting the
+            # overall-best profile silently
+            group, margin = AL.classify_light(seq)
+            if margin < AL.LIGHT_MARGIN_AMBIGUOUS:
+                import warnings
+                warnings.warn(
+                    f'ambiguous light-chain type (K-L margin {margin:.1f}); '
+                    f'grafting against the {group} V library', stacklevel=2)
     heavy = group == 'H'
     placed = IMGT.grid_string(seq, heavy=heavy, chain_hint=group)
     if placed is None:
@@ -220,7 +223,7 @@ def graft_seq(seq: str, group: Optional[str] = None,
     res = graft_cdrs(par, group, backmutate_vernier=backmutate_vernier)
     g = res['grid']
     identity = (par == g) & (par != '-')
-    return {'grid': g, 'seq': ''.join(g[g != '-']),
+    return {'grid': g, 'seq': ''.join(g[g != '-']), 'group': group,
             'parental_grid': par, 'identity_slots': identity,
             'v_gene': res['v_gene'], 'j_gene': res['j_gene']}
 
@@ -240,12 +243,11 @@ def fr_identity_grid(par: np.ndarray, group: str) -> float:
 
 
 def germline_fr_identity(seq: str, group: Optional[str] = None) -> float:
-    """Sequence-level wrapper over fr_identity_grid."""
+    """Sequence-level wrapper over fr_identity_grid; scores against the V
+    library of the group graft_seq resolved (a lambda chain with group=None
+    is scored against the lambda library, not defaulted to kappa)."""
     res = graft_seq(seq, group)
-    par = res['parental_grid']
-    return fr_identity_grid(par,
-                            'H' if len(par) == C.HEAVY_LEN
-                            else (group or 'K'))
+    return fr_identity_grid(res['parental_grid'], res['group'])
 
 
 def cdr_pair_grafting(h_seq: str, l_seq: str, back_mutation: bool = False
@@ -254,8 +256,6 @@ def cdr_pair_grafting(h_seq: str, l_seq: str, back_mutation: bool = False
     sample.py:370-376)."""
     from . import align as AL
     h = graft_seq(h_seq, 'H', backmutate_vernier=back_mutation)
-    l_group, _, _ = AL.detect_chain_type(l_seq)
-    if l_group in ('H', 'VHH'):
-        l_group = 'K'
+    l_group, _ = AL.classify_light(l_seq)
     l = graft_seq(l_seq, l_group, backmutate_vernier=back_mutation)
     return h['seq'], l['seq']

@@ -55,13 +55,20 @@ def pair_input(h_seq: str, l_seq: str, finetune: bool = False
     # failure would in the reference (scores: real domains ~500, junk <10)
     try:
         _, _, h_score = AL.detect_chain_type(h_seq)
-        l_group, l_profile, l_score = AL.detect_chain_type(l_seq)
+        _, _, l_score = AL.detect_chain_type(l_seq)
+        # kappa/lambda by direct K-vs-L profile comparison (never forced to
+        # kappa when the overall best profile mis-scores as heavy)
+        l_group, l_margin = AL.classify_light(l_seq)
     except ValueError:
         return None
     if h_score < AL.MIN_CHAIN_SCORE or l_score < AL.MIN_CHAIN_SCORE:
         return None
-    if l_group == 'H':
-        l_group = 'K'  # light profile mis-detected as heavy: force kappa
+    if l_margin < AL.LIGHT_MARGIN_AMBIGUOUS:
+        import warnings
+        warnings.warn(
+            f'ambiguous light-chain type (K-L margin {l_margin:.1f} < '
+            f'{AL.LIGHT_MARGIN_AMBIGUOUS}); proceeding as {l_group}',
+            stacklevel=2)
     h = IMGT.grid_string(h_seq, heavy=True, chain_hint='H')
     l = IMGT.grid_string(l_seq, heavy=False, chain_hint=l_group)
     if h is None or l is None:
@@ -848,13 +855,17 @@ def run_graft(args):
     from ..numbering import germline as G
     rows = []
     if args.data_fpath:
+        logger = get_logger('graft')
         for name, h_seq, l_seq in load_mouse_pairs(args.data_fpath):
+            # always write the parental row (matches the model CLI path) so
+            # the baseline CSV stays row-aligned even when a graft fails
+            rows.append(('mouse', name, h_seq, l_seq))
             try:
                 h, l = G.cdr_pair_grafting(h_seq, l_seq,
                                            back_mutation=args.back_mutation)
-            except Exception:  # noqa: BLE001 - skip unalignable rows
+            except Exception as e:  # noqa: BLE001 - skip unalignable rows
+                logger.warning('skipping graft for %s: %s', name, e)
                 continue
-            rows.append(('mouse', name, h_seq, l_seq))
             rows.append(('humanization', f'{name}human_sample', h, l))
     elif args.hseq and args.lseq:
         h, l = G.cdr_pair_grafting(args.hseq, args.lseq,

@@ -150,6 +150,9 @@ def make_handler(service: HumanizationService):
                 req = json.loads(self.rfile.read(n) or b'{}')
             except (ValueError, json.JSONDecodeError) as e:
                 return self._reply(400, {'error': f'bad JSON: {e}'})
+            if not isinstance(req, dict):
+                return self._reply(
+                    400, {'error': 'JSON body must be an object'})
             try:
                 if self.path == '/humanize/ab':
                     out = service.humanize_ab(

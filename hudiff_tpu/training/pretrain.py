@@ -138,9 +138,14 @@ def run(cfg: Namespace, kind: str, data_path: Optional[str], logdir: str,
     if resume:
         restored = checkpoints.restore(resume, template={
             'params': state.params, 'opt_state': state.opt_state})
+        # checkpoints are labeled by iteration; state.step counts optimizer
+        # micro-steps (batch_acc per iteration). Older checkpoints without
+        # 'opt_steps' meta carried micro-steps as the label.
+        opt_steps = int(restored['meta'].get('opt_steps',
+                                             restored['step'] * batch_acc))
         state = state.replace(params=restored['payload']['params'],
                               opt_state=restored['payload']['opt_state'],
-                              step=jnp.asarray(restored['step'], jnp.int32))
+                              step=jnp.asarray(opt_steps, jnp.int32))
         # continue at the persisted scheduler LR / patience / best-val
         # (reference payload carries the scheduler, antibody_train.py:438-445)
         meta = restored['meta']
@@ -168,13 +173,17 @@ def run(cfg: Namespace, kind: str, data_path: Optional[str], logdir: str,
     os.makedirs(ckpt_dir, exist_ok=True)
     data_rng = jax.random.PRNGKey(seed + 17)
 
-    start_step = int(state.step)
+    start_it = int(state.step) // batch_acc
     t_start = time.time()
-    it = start_step
+    it = start_it
     while it < max_iter:
-        # `batch_acc` optimizer steps per logged iteration (reference
-        # antibody_train.py:55-103 runs batch_acc micro-steps per train(it))
-        agg: Dict[str, float] = {}
+        # Reference iteration semantics (antibody_train.py:55-103): ONE
+        # iteration = `batch_acc` optimizer micro-steps; `max_iter` and
+        # `valid_step` count iterations, so a config is work-equivalent to
+        # the reference's. Logged train metrics are the MEAN over the
+        # window (reference sums then divides by batch_acc, :119-132),
+        # not the last micro-batch's values.
+        sums: Dict[str, float] = {}
         for _ in range(batch_acc):
             batch = next(train_feed)
             if kind == 'pair':
@@ -182,12 +191,14 @@ def run(cfg: Namespace, kind: str, data_path: Optional[str], logdir: str,
                                    data_rng)
             else:
                 state, m = step_fn(state, batch['tokens'], data_rng)
-            it += 1
-            if it >= max_iter:
-                break
-        m = {k: float(v) for k, v in m.items()}
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        it += 1
+        m = {k: v / batch_acc for k, v in sums.items()}
         m['lr'] = schedules.get_learning_rate(state.opt_state) or 0.0
-        m['steps_per_sec'] = (it - start_step) / max(time.time() - t_start, 1e-9)
+        m['opt_steps'] = float(int(state.step))
+        m['steps_per_sec'] = ((it - start_it) * batch_acc
+                              / max(time.time() - t_start, 1e-9))
         metrics_writer.write(it, m, prefix='train')
         logger.info('iter %d | %s', it,
                     ' | '.join(f'{k}: {v:.5f}' for k, v in sorted(m.items())))
@@ -216,6 +227,7 @@ def run(cfg: Namespace, kind: str, data_path: Optional[str], logdir: str,
                                          else dict(cfg.train),
                                          'kind': kind},
                                  extra={'val_loss': best_val,
+                                        'opt_steps': int(state.step),
                                         'scheduler': plateau.state_dict()})
                 logger.info('saved best checkpoint at iter %d (val %.5f)',
                             it, best_val)

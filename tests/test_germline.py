@@ -116,6 +116,31 @@ def test_inpaint_input_uses_germline_identity():
     assert (toks[resample] == C.IDX_MSK).all()
 
 
+def test_lambda_chain_scored_against_lambda_library():
+    """Round-2 ADVICE (medium): germline_fr_identity with group=None used to
+    discard the resolved group and score lambda chains against the kappa V
+    library (a pure IGLV1-40 graft returned 0.6 instead of 1.0)."""
+    lam = (G.GERMLINE_V_LAMBDA['IGLV1-40*01'] + 'SLSGVV'
+           + G.GERMLINE_J_LAMBDA['IGLJ2*01'])
+    res = G.graft_seq(lam)
+    assert res['group'] == 'L'
+    assert G.germline_fr_identity(lam) == pytest.approx(1.0)
+    # and via the GridChain surface without a chain hint
+    chain = M.GridChain(lam, heavy=False)
+    assert M._chain_group(chain) == 'L'
+
+
+def test_classify_light_never_returns_heavy():
+    from hudiff_tpu.numbering import align as AL
+    for seq in (MOUSE_L, G.GERMLINE_V_LAMBDA['IGLV2-14*01'] + 'SSYFGGTKLTVL'):
+        group, margin = AL.classify_light(seq)
+        assert group in ('K', 'L')
+        assert margin >= 0.0
+    k_group, k_margin = AL.classify_light(MOUSE_L)
+    assert k_group == 'K'
+    assert k_margin > AL.LIGHT_MARGIN_AMBIGUOUS
+
+
 HUAB348 = ('/root/reference/data/antibody_eval_data/HuAb348_data/'
            'humanization_pair_data_filter.csv')
 
@@ -130,8 +155,8 @@ def test_library_separates_human_from_mouse_on_huab348():
     from hudiff_tpu.eval import harness as H
     ref = pd.read_csv(HUAB348)
     mouse = ref[ref['type'] == 'mouse'].reset_index(drop=True)
-    exp_by = H._exp_by_mouse_name(mouse,
-                                  ref[ref['type'] == 'humanized'])
+    exp_by, _ = H._exp_by_mouse_name(mouse,
+                                     ref[ref['type'] == 'humanized'])
     m_scores, e_scores = [], []
     for _, r in mouse.iterrows():
         name = str(r['name'])

@@ -30,9 +30,24 @@ def test_exp_by_mouse_name_uses_order_name():
                         'order_name': ['1_humanized', '0_humanized'],
                         'h_seq': ['EH_B', 'EH_A'],
                         'l_seq': ['EL_B', 'EL_A']})
-    out = H._exp_by_mouse_name(mouse, exp)
+    out, mode = H._exp_by_mouse_name(mouse, exp)
+    assert mode == 'order_name'
     assert out['A'] == ('EH_A', 'EL_A')
     assert out['B'] == ('EH_B', 'EL_B')
+
+
+def test_exp_by_mouse_name_positional_fallback_warns():
+    """Round-2 VERDICT weak #2: positional pairing must be loud, not silent."""
+    mouse = pd.DataFrame({'type': ['mouse'] * 2, 'name': ['A', 'B'],
+                          'h_seq': ['MH_A', 'MH_B'],
+                          'l_seq': ['ML_A', 'ML_B']})
+    exp = pd.DataFrame({'type': ['humanized'] * 2, 'name': ['hA', 'hB'],
+                        'h_seq': ['EH_A', 'EH_B'],
+                        'l_seq': ['EL_A', 'EL_B']})
+    with pytest.warns(UserWarning, match='POSITIONAL'):
+        out, mode = H._exp_by_mouse_name(mouse, exp)
+    assert mode == 'positional'
+    assert out['A'] == ('EH_A', 'EL_A')
 
 
 @pytest.mark.skipif(not os.path.exists(HUAB348),
@@ -43,7 +58,7 @@ def test_eval_ab_name_pairing_multi_sample(tmp_path):
     ref = pd.read_csv(HUAB348)
     mouse = ref[ref['type'] == 'mouse'].reset_index(drop=True)
     exp = ref[ref['type'] == 'humanized'].reset_index(drop=True)
-    exp_by_name = H._exp_by_mouse_name(mouse, exp)
+    exp_by_name, _ = H._exp_by_mouse_name(mouse, exp)
 
     # pick the first 3 mouse antibodies that have experimental partners and
     # whose chains align on our grids
@@ -110,8 +125,8 @@ def test_eval_ab_order_independence(tmp_path):
     """Shuffling sample rows must not change any metric."""
     ref = pd.read_csv(HUAB348)
     mouse = ref[ref['type'] == 'mouse'].reset_index(drop=True)
-    exp_by_name = H._exp_by_mouse_name(mouse,
-                                       ref[ref['type'] == 'humanized'])
+    exp_by_name, _ = H._exp_by_mouse_name(mouse,
+                                          ref[ref['type'] == 'humanized'])
     rows = []
     for _, r in mouse.head(4).iterrows():
         name = str(r['name'])
@@ -162,8 +177,8 @@ def test_eval_ab_plots_battery(tmp_path):
     overlap aggregate lands in the report."""
     ref = pd.read_csv(HUAB348)
     mouse = ref[ref['type'] == 'mouse'].reset_index(drop=True)
-    exp_by_name = H._exp_by_mouse_name(mouse,
-                                       ref[ref['type'] == 'humanized'])
+    exp_by_name, _ = H._exp_by_mouse_name(mouse,
+                                          ref[ref['type'] == 'humanized'])
     rows = []
     for _, r in mouse.head(4).iterrows():
         name = str(r['name'])

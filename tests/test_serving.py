@@ -82,6 +82,13 @@ def test_missing_field_400(server):
     assert code == 400 and 'missing field' in out['error']
 
 
+def test_non_dict_body_400(server):
+    """A valid-JSON non-object body must get a 400, not a dropped socket."""
+    for payload in ([1, 2], 'a string'):
+        code, out = _post(server + '/humanize/ab', payload)
+        assert code == 400 and 'object' in out['error']
+
+
 def test_unaligned_422(server):
     code, out = _post(server + '/humanize/ab',
                       {'h_seq': 'AAAA', 'l_seq': 'GGGG'})

@@ -133,6 +133,30 @@ def test_pretrain_best_ckpt_follows_val_loss(tmp_path):
         best = min(best, loss)
 
 
+@pytest.mark.slow
+def test_pretrain_iteration_semantics_match_reference(tmp_path):
+    """Reference train(it) runs `batch_acc` optimizer steps per iteration and
+    counts iterations against max_iter (antibody_train.py:55-103,
+    configs/antibody_train.yml:28-29). heavy_test.yml has batch_acc: 2, so
+    max_iter=3 must perform exactly 6 optimizer steps, log 3 train rows, and
+    each row's metrics are the window MEAN (reference :119-132), pinned via
+    the opt_steps column."""
+    from hudiff_tpu.training import pretrain as PT_CLI
+    logdir = str(tmp_path / 'logs')
+    PT_CLI.main(['--config', os.path.join(REPO, 'configs/heavy_test.yml'),
+                 '--synthetic', '32', '--max-iter', '3', '--valid-step', '10',
+                 '--logdir', logdir])
+    run_dir = sorted(glob.glob(os.path.join(logdir, '*')))[-1]
+    rows = []
+    with open(os.path.join(run_dir, 'metrics.jsonl')) as f:
+        for line in f:
+            row = json.loads(line)
+            if 'train/loss' in row:
+                rows.append(row)
+    assert [r['step'] for r in rows] == [1, 2, 3]
+    assert [int(r['train/opt_steps']) for r in rows] == [2, 4, 6]
+
+
 # ---------------------------------------------------------------------------
 # Fine-tune resume: same LR / best-val / iteration continuation
 # ---------------------------------------------------------------------------
