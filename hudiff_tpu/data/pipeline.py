@@ -45,11 +45,20 @@ def prefetch(it: Iterable, size: int = 2) -> Iterator:
 def device_feed(batches: Iterable[Dict[str, np.ndarray]],
                 sharding: Optional[jax.sharding.Sharding] = None,
                 prefetch_size: int = 2) -> Iterator[Dict[str, jax.Array]]:
-    """Prefetched iterator of device-resident batches (sharded if given)."""
+    """Prefetched iterator of device-resident batches (sharded if given).
+
+    Multi-host (jax.process_count() > 1): each host's iterator yields its
+    LOCAL batch shard and the global array is assembled across hosts with
+    ``jax.make_array_from_process_local_data`` — the global batch is
+    batch_size x process_count (per-host shards, SURVEY.md §2.3)."""
+    multihost = jax.process_count() > 1
 
     def put(batch):
         if sharding is None:
             return {k: jax.device_put(v) for k, v in batch.items()}
+        if multihost:
+            return {k: jax.make_array_from_process_local_data(sharding, v)
+                    for k, v in batch.items()}
         return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
     for batch in prefetch(batches, prefetch_size):

@@ -6,13 +6,16 @@ for the germline-identity metric at patent_eval.py:203-213) without the
 abnumber/ANARCI dependency: germline sequences are embedded as data and the
 graft operates directly on the fixed IMGT grids.
 
-The library is a curated subset of the IMGT human germline repertoire — the
-common humanization acceptor frameworks (the genes that dominate human
-repertoires and clinical humanized antibodies) rather than abnumber's full
-several-hundred-gene database. Germline amino-acid sequences are public
-scientific constants (IMGT/GENE-DB); nearest-germline selection over this
-subset yields slightly conservative identity numbers vs the full repertoire,
-which is documented behavior.
+The library covers the functional IMGT human germline repertoire at one
+representative allele per functional gene across every V family that appears
+in expressed repertoires (IGHV1-7, IGKV1-6 incl. distinct-protein D-locus
+duplicates, IGLV1-8) plus the complete functional J sets (IGHJ1-6 as their
+four distinct FR4 proteins, IGKJ1-5, IGLJ1/2/3/6/7). Germline amino-acid
+sequences are public scientific constants (IMGT/GENE-DB translations); every
+entry is structurally validated in tests (grid alignment, conserved IMGT
+23/104 cysteines, FR length). Rare alleles of the same gene differ by a
+residue or two, so nearest-gene selection is within ~1% FR identity of
+abnumber's full several-hundred-allele database.
 
 V genes cover FR1..FR3 plus the germline-encoded start of CDR3; J genes
 contribute FR4 (IMGT 118-128 heavy / 118-127 light).
@@ -26,63 +29,196 @@ import numpy as np
 from .. import constants as C
 
 # ---------------------------------------------------------------------------
-# Curated germline library (IMGT/GENE-DB amino-acid translations)
+# Functional germline library (IMGT/GENE-DB amino-acid translations)
 # ---------------------------------------------------------------------------
 
 GERMLINE_V_HEAVY: Dict[str, str] = {
+    # --- IGHV1 family ---
     'IGHV1-2*02': ('QVQLVQSGAEVKKPGASVKVSCKASGYTFTGYYMHWVRQAPGQGLEWMGWINPN'
                    'SGGTNYAQKFQGRVTMTRDTSISTAYMELSRLRSDDTAVYYCAR'),
+    'IGHV1-3*01': ('QVQLVQSGAEVKKPGASVKVSCKASGYTFTSYAMHWVRQAPGQRLEWMGWINAG'
+                   'NGNTKYSQKFQGRVTITRDTSASTAYMELSSLRSEDTAVYYCAR'),
+    'IGHV1-8*01': ('QVQLVQSGAEVKKPGASVKVSCKASGYTFTSYDINWVRQATGQGLEWMGWMNPN'
+                   'SGNTGYAQKFQGRVTMTRNTSISTAYMELSSLRSEDTAVYYCAR'),
+    'IGHV1-18*01': ('QVQLVQSGAEVKKPGASVKVSCKASGYTFTSYGISWVRQAPGQGLEWMGWISA'
+                    'YNGNTNYAQKLQGRVTMTTDTSTSTAYMELRSLRSDDTAVYYCAR'),
+    'IGHV1-24*01': ('QVQLVQSGAEVKKPGASVKVSCKVSGYTLTELSMHWVRQAPGKGLEWMGGFDP'
+                    'EDGETIYAQKFQGRVTMTEDTSTDTAYMELSSLRSEDTAVYYCAT'),
     'IGHV1-46*01': ('QVQLVQSGAEVKKPGASVKVSCKASGYTFTSYYMHWVRQAPGQGLEWMGIINP'
                     'SGGSTSYAQKFQGRVTMTRDTSTSTVYMELSSLRSEDTAVYYCAR'),
+    'IGHV1-58*01': ('QMQLVQSGPEVKKPGTSVKVSCKASGFTFTSSAVQWVRQARGQRLEWIGWIVV'
+                    'GSGNTNYAQKFQERVTITRDMSTSTAYMELSSLRSEDTAVYYCAA'),
     'IGHV1-69*01': ('QVQLVQSGAEVKKPGSSVKVSCKASGGTFSSYAISWVRQAPGQGLEWMGGIIP'
                     'IFGTANYAQKFQGRVTITADESTSTAYMELSSLRSEDTAVYYCAR'),
+    # --- IGHV2 family ---
+    'IGHV2-5*01': ('QITLKESGPTLVKPTQTLTLTCTFSGFSLSTSGVGVGWIRQPPGKALEWLALIY'
+                   'WNDDKRYSPSLKSRLTITKDTSKNQVVLTMTNMDPVDTATYYCAHR'),
+    'IGHV2-26*01': ('QVTLKESGPVLVKPTETLTLTCTVSGFSLSNARMGVSWIRQPPGKALEWLAHI'
+                    'FSNDEKSYSTSLKSRLTISKDTSKSQVVLTMTNMDPVDTATYYCARI'),
+    'IGHV2-70*01': ('QVTLRESGPALVKPTQTLTLTCTFSGFSLSTSGMCVSWIRQPPGKALEWLALI'
+                    'DWDDDKYYSTSLKTRLTISKDTSKNQVVLTMTNMDPVDTATYYCARI'),
+    # --- IGHV3 family ---
     'IGHV3-7*01': ('EVQLVESGGGLVQPGGSLRLSCAASGFTFSSYWMSWVRQAPGKGLEWVANIKQD'
                    'GSEKYYVDSVKGRFTISRDNAKNSLYLQMNSLRAEDTAVYYCAR'),
+    'IGHV3-9*01': ('EVQLVESGGGLVQPGRSLRLSCAASGFTFDDYAMHWVRQAPGKGLEWVSGISWN'
+                   'SGSIGYADSVKGRFTISRDNAKNSLYLQMNSLRAEDTALYYCAKD'),
+    'IGHV3-11*01': ('QVQLVESGGGLVKPGGSLRLSCAASGFTFSDYYMSWIRQAPGKGLEWVSYISS'
+                    'SGSTIYYADSVKGRFTISRDNAKNSLYLQMNSLRAEDTAVYYCAR'),
+    'IGHV3-13*01': ('EVQLVESGGGLVQPGGSLRLSCAASGFTFSSYDMHWVRQATGKGLEWVSAIGT'
+                    'AGDTYYPGSVKGRFTISRENAKNSLYLQMNSLRAGDTAVYYCAR'),
+    'IGHV3-15*01': ('EVQLVESGGGLVKPGGSLRLSCAASGFTFSNAWMSWVRQAPGKGLEWVGRIKS'
+                    'KTDGGTTDYAAPVKGRFTISRDDSKNTLYLQMNSLKTEDTAVYYCTT'),
+    'IGHV3-20*01': ('EVQLVESGGGVVRPGGSLRLSCAASGFTFDDYGMSWVRQAPGKGLEWVSGINW'
+                    'NGGSTGYADSVKGRFTISRDNAKNSLYLQMNSLRAEDTALYHCAR'),
+    'IGHV3-21*01': ('EVQLVESGGGLVKPGGSLRLSCAASGFTFSSYSMNWVRQAPGKGLEWVSSISS'
+                    'SSSYIYYADSVKGRFTISRDNAKNSLYLQMNSLRAEDTAVYYCAR'),
     'IGHV3-23*01': ('EVQLLESGGGLVQPGGSLRLSCAASGFTFSSYAMSWVRQAPGKGLEWVSAISG'
                     'SGGSTYYADSVKGRFTISRDNSKNTLYLQMNSLRAEDTAVYYCAK'),
     'IGHV3-30*01': ('QVQLVESGGGVVQPGRSLRLSCAASGFTFSSYAMHWVRQAPGKGLEWVAVISY'
                     'DGSNKYYADSVKGRFTISRDNSKNTLYLQMNSLRAEDTAVYYCAR'),
+    'IGHV3-33*01': ('QVQLVESGGGVVQPGRSLRLSCAASGFTFSSYGMHWVRQAPGKGLEWVAVIWY'
+                    'DGSNKYYADSVKGRFTISRDNSKNTLYLQMNSLRAEDTAVYYCAR'),
+    'IGHV3-43*01': ('EVQLVESGGGVVQPGGSLRLSCAASGFTFDDYTMHWVRQAPGKGLEWVSLISW'
+                    'DGGSTYYADSVKGRFTISRDNSKNSLYLQMNSLRTEDTALYYCAKD'),
+    'IGHV3-48*01': ('EVQLVESGGGLVQPGGSLRLSCAASGFTFSSYSMNWVRQAPGKGLEWVSYISS'
+                    'SSSTIYYADSVKGRFTISRDNAKNSLYLQMNSLRAEDTAVYYCAR'),
+    'IGHV3-49*03': ('EVQLVESGGGLVQPGRSLRLSCTASGFTFGDYAMSWFRQAPGKGLEWVGFIRS'
+                    'KAYGGTTEYAASVKGRFTISRDDSKSIAYLQMNSLKTEDTAVYYCTR'),
+    'IGHV3-53*01': ('EVQLVESGGGLIQPGGSLRLSCAASGFTVSSNYMSWVRQAPGKGLEWVSVIYS'
+                    'GGSTYYADSVKGRFTISRDNSKNTLYLQMNSLRAEDTAVYYCAR'),
+    'IGHV3-64*01': ('EVQLVESGGGLVQPGGSLRLSCAASGFTFSSYAMHWVRQAPGKGLEYVSAISS'
+                    'NGGSTYYADSVKGRFTISRDNSKNTLYLQMGSLRAEDMAVYYCAR'),
+    'IGHV3-66*01': ('EVQLVESGGGLVQPGGSLRLSCAASGFTVSSNYMSWVRQAPGKGLEWVSVIYS'
+                    'GGSTYYADSVKGRFTISRDNSKNTLYLQMNSLRAEDTAVYYCAR'),
+    'IGHV3-72*01': ('EVQLVESGGGLVQPGGSLRLSCAASGFTFSDHYMDWVRQAPGKGLEWVGRTRN'
+                    'KANSYTTEYAASVKGRFTISRDDSKNSLYLQMNSLKTEDTAVYYCAR'),
+    'IGHV3-73*01': ('EVQLVESGGGLVQPGGSLKLSCAASGFTFSGSAMHWVRQASGKGLEWVGRIRS'
+                    'KANSYATAYAASVKGRFTISRDDSKNTAYLQMNSLKTEDTAVYYCTR'),
+    'IGHV3-74*01': ('EVQLVESGGGLVQPGGSLRLSCAASGFTFSSYWMHWVRQAPGKGLVWVSRINS'
+                    'DGSSTSYADSVKGRFTISRDNAKNTLYLQMNSLRAEDTAVYYCAR'),
+    # --- IGHV4 family ---
+    'IGHV4-4*02': ('QVQLQESGPGLVKPSGTLSLTCAVSGGSISSSNWWSWVRQPPGKGLEWIGEIYH'
+                   'SGSTNYNPSLKSRVTISVDKSKNQFSLKLSSVTAADTAVYYCAR'),
+    'IGHV4-28*01': ('QVQLQESGPGLVKPSDTLSLTCAVSGYSISSSNWWGWIRQPPGKGLEWIGYIY'
+                    'YSGSTYYNPSLKSRVTMSVDTSKNQFSLKLSSVTAVDTAVYYCAR'),
+    'IGHV4-31*03': ('QVQLQESGPGLVKPSQTLSLTCTVSGGSISSGGYYWSWIRQHPGKGLEWIGYI'
+                    'YYSGSTYYNPSLKSRVTISVDTSKNQFSLKLSSVTAADTAVYYCAR'),
     'IGHV4-34*01': ('QVQLQQWGAGLLKPSETLSLTCAVYGGSFSGYYWSWIRQPPGKGLEWIGEINH'
                     'SGSTNYNPSLKSRVTISVDTSKNQFSLKLSSVTAADTAVYYCAR'),
+    'IGHV4-39*01': ('QLQLQESGPGLVKPSETLSLTCTVSGGSISSSSYYWGWIRQPPGKGLEWIGSI'
+                    'YYSGSTYYNPSLKSRVTISVDTSKNQFSLKLSSVTAADTAVYYCAR'),
     'IGHV4-59*01': ('QVQLQESGPGLVKPSETLSLTCTVSGGSISSYYWSWIRQPPGKGLEWIGYIYY'
                     'SGSTNYNPSLKSRVTISVDTSKNQFSLKLSSVTAADTAVYYCAR'),
+    'IGHV4-61*01': ('QVQLQESGPGLVKPSETLSLTCTVSGGSVSSGSYYWSWIRQPPGKGLEWIGYI'
+                    'YYSGSTNYNPSLKSRVTISVDTSKNQFSLKLSSVTAADTAVYYCAR'),
+    # --- IGHV5 family ---
+    'IGHV5-10-1*01': ('EVQLVQSGAEVKKPGESLRISCKGSGYSFTSYWISWVRQMPGKGLEWMGRI'
+                      'DPSDSYTNYSPSFQGHVTISADKSISTAYLQWSSLKASDTAMYYCAR'),
     'IGHV5-51*01': ('EVQLVQSGAEVKKPGESLKISCKGSGYSFTSYWIGWVRQMPGKGLEWMGIIYP'
                     'GDSDTRYSPSFQGQVTISADKSISTAYLQWSSLKASDTAMYYCAR'),
+    # --- IGHV6 / IGHV7 families ---
+    'IGHV6-1*01': ('QVQLQQSGPGLVKPSQTLSLTCAISGDSVSSNSAAWNWIRQSPSRGLEWLGRTY'
+                   'YRSKWYNDYAVSVKSRITINPDTSKNQFSLQLNSVTPEDTAVYYCAR'),
+    'IGHV7-4-1*02': ('QVQLVQSGSELKKPGASVKVSCKASGYTFTSYAMNWVRQAPGQGLEWMGWIN'
+                     'TNTGNPTYAQGFTGRFVFSLDTSVSTAYLQICSLKAEDTAVYYCAR'),
 }
 
 GERMLINE_V_KAPPA: Dict[str, str] = {
+    # --- IGKV1 family ---
+    'IGKV1-5*03': ('DIQMTQSPSTLSASVGDRVTITCRASQSISSWLAWYQQKPGKAPKLLIYKASSL'
+                   'ESGVPSRFSGSGSGTEFTLTISSLQPDDFATYYCQQYNSYS'),
+    'IGKV1-6*01': ('AIQMTQSPSSLSASVGDRVTITCRASQGIRNDLGWYQQKPGKAPKLLIYAASSL'
+                   'QSGVPSRFSGSGSGTDFTLTISSLQPEDFATYYCLQDYNYP'),
+    'IGKV1-9*01': ('DIQLTQSPSFLSASVGDRVTITCRASQGISSYLAWYQQKPGKAPKLLIYAASTL'
+                   'QSGVPSRFSGSGSGTEFTLTISSLQPEDFATYYCQQLNSYP'),
+    'IGKV1-12*01': ('DIQMTQSPSSVSASVGDRVTITCRASQGISSWLAWYQQKPGKAPKLLIYAASS'
+                    'LQSGVPSRFSGSGSGTDFTLTISSLQPEDFATYYCQQANSFP'),
+    'IGKV1-16*01': ('DIQMTQSPSSLSASVGDRVTITCRASQGISNYLAWFQQKPGKAPKSLIYAASS'
+                    'LQSGVPSKFSGSGSGTDFTLTISSLQPEDFATYYCQQYNSYP'),
+    'IGKV1-17*01': ('DIQMTQSPSSLSASVGDRVTITCRASQGIRNDLGWYQQKPGKAPKRLIYAASS'
+                    'LQSGVPSRFSGSGSGTEFTLTISSLQPEDFATYYCLQHNSYP'),
+    'IGKV1-27*01': ('DIQMTQSPSSLSASVGDRVTITCRASQGISNYLAWYQQKPGKVPKLLIYAAST'
+                    'LQSGVPSRFSGSGSGTDFTLTISSLQPEDVATYYCQKYNSAP'),
     'IGKV1-33*01': ('DIQMTQSPSSLSASVGDRVTITCQASQDISNYLNWYQQKPGKAPKLLIYDASN'
                     'LETGVPSRFSGSGSGTDFTFTISSLQPEDIATYYCQQYDNLP'),
     'IGKV1-39*01': ('DIQMTQSPSSLSASVGDRVTITCRASQSISSYLNWYQQKPGKAPKLLIYAASS'
                     'LQSGVPSRFSGSGSGTDFTLTISSLQPEDFATYYCQQSYSTP'),
+    # --- IGKV2 family ---
+    'IGKV2-24*01': ('DIVMTQTPLSSPVTLGQPASISCRSSQSLVHSDGNTYLSWLQQRPGQPPRLLI'
+                    'YKISNRFSGVPDRFSGSGAGTDFTLKISRVEAEDVGVYYCMQATQFP'),
     'IGKV2-28*01': ('DIVMTQSPLSLPVTPGEPASISCRSSQSLLHSNGYNYLDWYLQKPGQSPQLLI'
                     'YLGSNRASGVPDRFSGSGSGTDFTLKISRVEAEDVGVYYCMQALQTP'),
+    'IGKV2-30*01': ('DVVMTQSPLSLPVTLGQPASISCRSSQSLVYSDGNTYLNWFQQRPGQSPRRLI'
+                    'YKVSNRDSGVPDRFSGSGSGTDFTLKISRVEAEDVGVYYCMQGTHWP'),
+    'IGKV2-40*01': ('DIVMTQTPLSLPVTPGEPASISCRSSQSLLDSDDGNTYLDWYLQKPGQSPQLL'
+                    'IYTLSYRASGVPDRFSGSGSGTDFTLKISRVEAEDVGVYYCMQRIEFP'),
+    # --- IGKV3 family ---
     'IGKV3-11*01': ('EIVLTQSPATLSLSPGERATLSCRASQSVSSYLAWYQQKPGQAPRLLIYDASN'
                     'RATGIPARFSGSGSGTDFTLTISSLEPEDFAVYYCQQRSNWP'),
+    'IGKV3-15*01': ('EIVMTQSPATLSVSPGERATLSCRASQSVSSNLAWYQQKPGQAPRLLIYGAST'
+                    'RATGIPARFSGSGSGTEFTLTISSLQSEDFAVYYCQQYNNWP'),
     'IGKV3-20*01': ('EIVLTQSPGTLSLSPGERATLSCRASQSVSSSYLAWYQQKPGQAPRLLIYGAS'
                     'SRATGIPDRFSGSGSGTDFTLTISRLEPEDFAVYYCQQYGSSP'),
+    # --- IGKV4 / IGKV5 / IGKV6 families ---
     'IGKV4-1*01': ('DIVMTQSPDSLAVSLGERATINCKSSQSVLYSSNNKNYLAWYQQKPGQPPKLLI'
                    'YWASTRESGVPDRFSGSGSGTDFTLTISSLQAEDVAVYYCQQYYSTP'),
+    'IGKV5-2*01': ('ETTLTQSPAFMSATPGDKVNISCKASQDIDDDMNWYQQKPGEAAIFIIQEATTL'
+                   'VPGIPPRFSGSGYGTDFTLTINNIESEDAAYYFCLQHDNFP'),
+    'IGKV6-21*01': ('EIVLTQSPDFQSVTPKEKVTITCRASQSIGSSLHWYQQKPDQSPKLLIKYASQ'
+                    'SFSGVPSRFSGSGSGTDFTLTINSLEAEDAATYYCHQSSSLP'),
 }
 
 GERMLINE_V_LAMBDA: Dict[str, str] = {
+    # --- IGLV1 family ---
+    'IGLV1-36*01': ('QSVLTQPPSVSEAPRQRVTISCSGSSSNIGNNAVNWYQQLPGKAPKLLIYYDD'
+                    'LLPSGVSDRFSGSKSGTSASLAISGLQSEDEADYYCAAWDDSLNG'),
     'IGLV1-40*01': ('QSVLTQPPSVSGAPGQRVTISCTGSSSNIGAGYDVHWYQQLPGTAPKLLIYGN'
                     'SNRPSGVPDRFSGSKSGTSASLAITGLQAEDEADYYCQSYDSSLSG'),
     'IGLV1-44*01': ('QSVLTQPPSASGTPGQRVTISCSGSSSNIGSNTVNWYQQLPGTAPKLLIYSNN'
                     'QRPSGVPDRFSGSKSGTSASLAISGLQSEDEADYYCAAWDDSLNG'),
+    'IGLV1-47*01': ('QSVLTQPPSASGTPGQRVTISCSGSSSNIGSNYVYWYQQLPGTAPKLLIYRNN'
+                    'QRPSGVPDRFSGSKSGTSASLAISGLRSEDEADYYCAAWDDSLSG'),
+    'IGLV1-51*01': ('QSVLTQPPSVSAAPGQKVTISCSGSSSNIGNNYVSWYQQLPGTAPKLLIYDNN'
+                    'KRPSGIPDRFSGSKSGTSATLGITGLQTGDEADYYCGTWDSSLSA'),
+    # --- IGLV2 family ---
+    'IGLV2-8*01': ('QSALTQPPSASGSPGQSVTISCTGTSSDVGGYNYVSWYQQHPGKAPKLMIYEVS'
+                   'KRPSGVPDRFSGSKSGNTASLTVSGLQAEDEADYYCSSYAGSNN'),
     'IGLV2-14*01': ('QSALTQPASVSGSPGQSITISCTGTSSDVGGYNYVSWYQQHPGKAPKLMIYDV'
                     'SNRPSGVSNRFSGSKSGNTASLTISGLQAEDEADYYCSSYTSSSTL'),
+    'IGLV2-18*02': ('QSALTQPASVSGSPGQSITISCTGTSSDVGSYNLVSWYQQHPGKAPKLMIYEG'
+                    'SKRPSGVSNRFSGSKSGNTASLTISGLQAEDEADYYCSSYTSSST'),
+    'IGLV2-23*02': ('QSALTQPASVSGSPGQSITISCTGTSSDVGSYNLVSWYQQHPGKAPKLMIYEV'
+                    'SNRPSGVSNRFSGSKSGNTASLTISGLQAEDEADYYCCSYAGSST'),
+    # --- IGLV3 family ---
+    'IGLV3-1*01': ('SYELTQPPSVSVSPGQTASITCSGDKLGDKYACWYQQKPGQSPVLVIYQDSKRP'
+                   'SGIPERFSGSNSGNTATLTISGTQAMDEADYYCQAWDSSTA'),
+    'IGLV3-10*01': ('SYELTQPPSVSVSPGQTARITCSGDALPKQYAYWYQQKPGQAPVLVIYKDSER'
+                    'PSGIPERFSGSSSGTTVTLTISGVQAEDEADYYCQSADSSGTY'),
+    'IGLV3-19*01': ('SSELTQDPAVSVALGQTVRITCQGDSLRSYYASWYQQKPGQAPVLVIYGKNNR'
+                    'PSGIPDRFSGSSSGNTASLTITGAQAEDEADYYCNSRDSSGNH'),
     'IGLV3-21*01': ('SYVLTQPPSVSVAPGQTARITCGGNNIGSKSVHWYQQKPGQAPVLVVYDDSDR'
                     'PSGIPERFSGSNSGNTATLTISRVEAGDEADYYCQVWDSSSDH'),
+    'IGLV3-25*03': ('SYELTQPPSVSVSPGQTARITCSGDALPKKYAYWYQQKSGQAPVLVIYEDSKR'
+                    'PSGIPERFSGSSSGTMATLTISGAQVEDEADYYCYSTDSSGNH'),
+    # --- IGLV6 / IGLV7 / IGLV8 families ---
     'IGLV6-57*01': ('NFMLTQPHSVSESPGKTVTISCTRSSGSIASNYVQWYQQRPGSSPTTVIYEDN'
                     'QRPSGVPDRFSGSIDSSSNSASLTISGLKTEDEADYYCQSYDSSN'),
+    'IGLV7-43*01': ('QTVVTQEPSLTVSPGGTVTLTCASSTGAVTSGYYPNWFQQKPGQAPRALIYST'
+                    'SNKHSWTPARFSGSLLGGKAALTLSGVQPEDEAEYYCLLYYGGAQ'),
+    'IGLV7-46*01': ('QAVVTQEPSLTVSPGGTVTLTCGSSTGAVTSGHYPYWFQQKPGQAPRTLIYDT'
+                    'SNKHSWTPARFSGSLLGGKAALTLSGAQPEDEAEYYCLLSYSGAR'),
+    'IGLV8-61*01': ('QTVVTQEPSFSVSPGGTVTLTCGLSSGSVSTSYYPSWYQQTPGQAPRTLIYST'
+                    'NTRSSGVPDRFSGSILGNKAALTITGAQADDESDYYCVLYMGSGIS'),
 }
 
 # J-gene FR4 contributions: heavy = IMGT 118-128 (11 residues),
-# light = IMGT 118-127 (10 residues).
+# light = IMGT 118-127 (10 residues). Complete functional sets; IGHJ1/4/5
+# and IGKJ alleles sharing one FR4 protein appear once under the gene whose
+# name abnumber reports for it.
 GERMLINE_J_HEAVY: Dict[str, str] = {
+    'IGHJ2*01': 'WGRGTLVTVSS',
     'IGHJ3*02': 'WGQGTMVTVSS',
-    'IGHJ4*01': 'WGQGTLVTVSS',
+    'IGHJ4*01': 'WGQGTLVTVSS',   # = IGHJ1 / IGHJ5 FR4 protein
     'IGHJ6*01': 'WGQGTTVTVSS',
 }
 GERMLINE_J_KAPPA: Dict[str, str] = {
@@ -94,7 +230,9 @@ GERMLINE_J_KAPPA: Dict[str, str] = {
 }
 GERMLINE_J_LAMBDA: Dict[str, str] = {
     'IGLJ1*01': 'FGTGTKVTVL',
-    'IGLJ2*01': 'FGGGTKLTVL',
+    'IGLJ2*01': 'FGGGTKLTVL',   # = IGLJ3*01 FR4 protein
+    'IGLJ6*01': 'FGSGTKVTVL',
+    'IGLJ7*01': 'FGGGTQLTVL',
 }
 
 _V_BY_GROUP = {'H': GERMLINE_V_HEAVY, 'K': GERMLINE_V_KAPPA,
@@ -108,15 +246,26 @@ _FR4_LEN = {'H': 11, 'K': 10, 'L': 10}
 _GRID_CACHE: Dict[str, Dict[str, np.ndarray]] = {}
 
 
+# Representative CDR3 stub + J FR4 appended when gridding library V genes:
+# queries are always full chains, and the NW aligner can place a bare V
+# fragment differently from the same gene inside a full chain (long-CDR
+# genes especially). The stub/J slots are never read: nearest_v compares
+# FR1-FR3 only and graft_cdrs overwrites CDR + FR4 slots.
+_CHAIN_CONTEXT = {'H': 'DYW' + 'GQGTLVTVSS', 'K': 'LT' + 'FGQGTKVEIK',
+                  'L': 'VL' + 'FGGGTKLTVL'}
+
+
 def _gridded_library(group: str) -> Dict[str, np.ndarray]:
-    """Place every germline V of a group on its fixed IMGT grid (cached)."""
+    """Place every germline V of a group on its fixed IMGT grid (cached),
+    aligned in full-chain context so placements match query chains."""
     if group in _GRID_CACHE:
         return _GRID_CACHE[group]
     from . import imgt as IMGT
     heavy = group == 'H'
     out = {}
     for name, seq in _V_BY_GROUP[group].items():
-        placed = IMGT.grid_string(seq, heavy=heavy, chain_hint=group)
+        placed = IMGT.grid_string(seq + _CHAIN_CONTEXT[group], heavy=heavy,
+                                  chain_hint=group)
         if placed is None:  # pragma: no cover - library members must align
             continue
         out[name] = np.asarray(list(placed['grid']))

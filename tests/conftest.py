@@ -16,3 +16,39 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import glob  # noqa: E402
+
+import pytest  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _latest_ckpt(logdir: str) -> str:
+    runs = sorted(glob.glob(os.path.join(logdir, '*', 'checkpoints')))
+    assert runs, f'no checkpoint dir under {logdir}'
+    return runs[-1]
+
+
+# Session-scoped tiny pretrained checkpoints shared by the CLI-chain / e2e /
+# resume tests (round-2 VERDICT next #9: one fixture training run instead of
+# one per test keeps the slow suite inside a CI window).
+
+@pytest.fixture(scope='session')
+def heavy_pretrain_ckpt(tmp_path_factory):
+    from hudiff_tpu.training import pretrain as PT_CLI
+    logdir = str(tmp_path_factory.mktemp('shared_heavy_pt'))
+    PT_CLI.main(['--config', os.path.join(REPO, 'configs/heavy_test.yml'),
+                 '--synthetic', '32', '--max-iter', '1', '--valid-step', '1',
+                 '--logdir', logdir])
+    return _latest_ckpt(logdir)
+
+
+@pytest.fixture(scope='session')
+def pair_pretrain_ckpt(tmp_path_factory):
+    from hudiff_tpu.training import pretrain as PT_CLI
+    logdir = str(tmp_path_factory.mktemp('shared_pair_pt'))
+    PT_CLI.main(['--config', os.path.join(REPO, 'configs/antibody_test.yml'),
+                 '--synthetic', '32', '--max-iter', '1', '--valid-step', '1',
+                 '--logdir', logdir])
+    return _latest_ckpt(logdir)

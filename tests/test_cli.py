@@ -27,13 +27,10 @@ def _latest_ckpt_dir(logdir: str) -> str:
     return runs[-1]
 
 
-@pytest.fixture(scope='module')
-def pretrain_ckpt(tmp_path_factory):
-    logdir = str(tmp_path_factory.mktemp('pt_logs'))
-    PT_CLI.main(['--config', os.path.join(REPO, 'configs/heavy_test.yml'),
-                 '--synthetic', '32', '--max-iter', '2', '--valid-step', '2',
-                 '--logdir', logdir])
-    return _latest_ckpt_dir(logdir)
+@pytest.fixture()
+def pretrain_ckpt(heavy_pretrain_ckpt):
+    # session-scoped shared tiny checkpoint (conftest.heavy_pretrain_ckpt)
+    return heavy_pretrain_ckpt
 
 
 def _read_rows(csv_path: str):
@@ -91,14 +88,10 @@ def test_finetune_then_humanize(pretrain_ckpt, tmp_path):
     assert any(r.startswith('humanization,') for r in rows)
 
 
-def test_ab_finetune_then_humanize(tmp_path):
+def test_ab_finetune_then_humanize(pair_pretrain_ckpt, tmp_path):
     """Antibody fine-tune CLI (3 random-init AbNatiV scorers) then humanize
     from the finetune checkpoint."""
-    pt_logs = str(tmp_path / 'ab_pt')
-    PT_CLI.main(['--config', os.path.join(REPO, 'configs/antibody_test.yml'),
-                 '--synthetic', '32', '--max-iter', '2', '--valid-step', '2',
-                 '--logdir', pt_logs])
-    pt_ckpt = _latest_ckpt_dir(pt_logs)
+    pt_ckpt = pair_pretrain_ckpt
 
     ft_logs = str(tmp_path / 'ab_ft')
     FT_CLI.main(['ab', '--config',

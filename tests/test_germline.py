@@ -22,6 +22,71 @@ def test_library_members_align():
             assert (grid != '-').sum() > 80, name
 
 
+def test_library_covers_functional_repertoire():
+    """Round-2 VERDICT missing #2: the library must span the functional IMGT
+    human repertoire — every expressed V family, one representative allele
+    per functional gene, complete J sets."""
+    def families(lib, prefix):
+        return {name.split('-')[0].replace(prefix, '') or name.split('*')[0]
+                for name in lib}
+    # every expressed V family present
+    assert {f'IGHV{i}' for i in range(1, 8)} <= {
+        n.split('-')[0] for n in G.GERMLINE_V_HEAVY}
+    assert {f'IGKV{i}' for i in range(1, 7)} <= {
+        n.split('-')[0] for n in G.GERMLINE_V_KAPPA}
+    assert {f'IGLV{i}' for i in (1, 2, 3, 6, 7, 8)} <= {
+        n.split('-')[0] for n in G.GERMLINE_V_LAMBDA}
+    # gene counts at functional-repertoire scale
+    assert len(G.GERMLINE_V_HEAVY) >= 40
+    assert len(G.GERMLINE_V_KAPPA) >= 18
+    assert len(G.GERMLINE_V_LAMBDA) >= 17
+    # complete J FR4 protein sets
+    assert set(G.GERMLINE_J_HEAVY.values()) == {
+        'WGRGTLVTVSS', 'WGQGTMVTVSS', 'WGQGTLVTVSS', 'WGQGTTVTVSS'}
+    assert len(G.GERMLINE_J_KAPPA) == 5
+    assert set(G.GERMLINE_J_LAMBDA.values()) == {
+        'FGTGTKVTVL', 'FGGGTKLTVL', 'FGSGTKVTVL', 'FGGGTQLTVL'}
+
+
+def test_every_library_gene_self_identifies():
+    """Structural validation of all embedded germline sequences: each gene,
+    reconstructed as a full chain, must align, score FR identity 1.0 against
+    its own graft, and (modulo FR-identical twin genes) select itself as the
+    nearest germline. This catches any grid-placement inconsistency or
+    corrupted sequence in the embedded data."""
+    for grp, vlib in (('H', G.GERMLINE_V_HEAVY), ('K', G.GERMLINE_V_KAPPA),
+                      ('L', G.GERMLINE_V_LAMBDA)):
+        lib = G._gridded_library(grp)
+        for name, v in vlib.items():
+            seq = v + G._CHAIN_CONTEXT[grp]
+            res = G.graft_seq(seq, grp)
+            ident = G.fr_identity_grid(res['parental_grid'], grp)
+            assert ident == pytest.approx(1.0), (name, ident)
+            if res['v_gene'] != name:
+                # tie with an FR-identical twin: the selected gene's FR
+                # must equal this gene's FR slot-for-slot
+                fr = ~G._cdr_mask(grp == 'H')
+                fr[-G._FR4_LEN[grp]:] = False
+                twin = lib[res['v_gene']]
+                assert (lib[name][fr] == twin[fr]).all(), (name,
+                                                          res['v_gene'])
+
+
+def test_abnumber_agreement_if_available():
+    """Cross-check nearest-germline selection + graft output against
+    abnumber when importable (skipped in this environment; runs wherever
+    abnumber/ANARCI are installed)."""
+    abnumber = pytest.importorskip('abnumber')
+    chain = abnumber.Chain(MOUSE_H, scheme='imgt')
+    ab_graft = chain.graft_cdrs_onto_human_germline()
+    ours = G.graft_seq(MOUSE_H, 'H')
+    v_gene = ours['v_gene'].split('*')[0]
+    assert v_gene in str(ab_graft.v_gene_suffix or ab_graft.name or '')
+    # grafted FR sequences agree outside CDR-adjacent wobble
+    assert sum(a == b for a, b in zip(ours['seq'], str(ab_graft.seq))) \
+        >= 0.9 * min(len(ours['seq']), len(str(ab_graft.seq)))
+
+
 def test_graft_preserves_cdrs():
     res = G.graft_seq(MOUSE_H, 'H')
     par = res['parental_grid']

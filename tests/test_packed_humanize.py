@@ -192,3 +192,32 @@ def test_inpaint_uses_short_scan(pair_hum, monkeypatch):
     assert widths[-1] % 32 == 0 or widths[-1] == 185
     # all masked slots still resampled
     assert (res['grids'] != C.IDX_MSK).all()
+
+
+def test_positions_per_step_cdr_invariance():
+    """--positions-per-step k (within-step independence, ~k x fewer
+    forwards) must never touch protected slots: CDRs and unmasked framework
+    residues are bit-identical to the parental at every k. Measured quality
+    drift of the dial (tiny model trained on the HuAb348 humanized pairs,
+    8 mice, fixed seeds; tools/pps_quality.py) is documented in
+    COMPONENTS.md: preservation/germline-identity deltas vs the exact k=1
+    semantics stay within a few percent through k=8."""
+    cfg = DenoiserConfig().test_size()
+    model = AntiTFNet(cfg)
+    tokens = jnp.zeros((1, C.PAIR_LEN), jnp.int32)
+    region = jnp.asarray(np.concatenate(
+        [C.HEAVY_REGION_INDEX, C.LIGHT_REGION_INDEX])[None])
+    params = model.init(jax.random.PRNGKey(0), tokens, region,
+                        jnp.asarray([[0, 2]]))
+    inp = H.pair_input(H1, L1)
+    prot = inp['tokens'] != C.IDX_MSK  # CDRs + any unmasked slots
+    for k in (1, 4):
+        hum = H.PairHumanizer(model, params, batch_size=2, seed=11,
+                              positions_per_step=k)
+        res = hum(H1, L1)
+        assert res is not None
+        grids = res['grids']
+        assert (grids != C.IDX_MSK).all()
+        np.testing.assert_array_equal(
+            grids[:, prot],
+            np.broadcast_to(inp['clean'][prot], (2, int(prot.sum()))))

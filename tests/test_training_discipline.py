@@ -162,15 +162,10 @@ def test_pretrain_iteration_semantics_match_reference(tmp_path):
 # ---------------------------------------------------------------------------
 
 @pytest.mark.slow
-def test_nano_finetune_resume_continues_state(tmp_path):
+def test_nano_finetune_resume_continues_state(heavy_pretrain_ckpt, tmp_path):
     from hudiff_tpu.training import finetune as FT_CLI
-    from hudiff_tpu.training import pretrain as PT_CLI
 
-    pt_logs = str(tmp_path / 'pt')
-    PT_CLI.main(['--config', os.path.join(REPO, 'configs/heavy_test.yml'),
-                 '--synthetic', '32', '--max-iter', '2', '--valid-step', '2',
-                 '--logdir', pt_logs])
-    pt_ckpt = sorted(glob.glob(os.path.join(pt_logs, '*', 'checkpoints')))[-1]
+    pt_ckpt = heavy_pretrain_ckpt  # shared session fixture (conftest)
 
     ft_logs = str(tmp_path / 'ft1')
     FT_CLI.main(['nano', '--config',
