@@ -157,9 +157,17 @@ def main():
     baseline_throughput = 1.0 / baseline_dt
 
     # training-side workload (round-2 VERDICT weak #4: pretrain throughput +
-    # MFU belong in the driver-captured bench, not in docs prose)
-    pretrain = bench_pretrain_step(
-        B=int(os.environ.get('HUDIFF_BENCH_TRAIN_B', 128)))
+    # MFU belong in the driver-captured bench, not in docs prose). The train
+    # step's compile is minutes on the tunnel; never let it cost the
+    # headline sampling metric. HUDIFF_BENCH_TRAIN_B=0 skips it.
+    train_b = int(os.environ.get('HUDIFF_BENCH_TRAIN_B', 128))
+    if train_b:
+        try:
+            pretrain = bench_pretrain_step(B=train_b)
+        except Exception as e:  # noqa: BLE001 - report, don't fail the bench
+            pretrain = {'error': str(e)[:200]}
+    else:
+        pretrain = {'skipped': True}
 
     print(json.dumps({
         "metric": "ab_humanization_throughput",

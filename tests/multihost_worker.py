@@ -36,6 +36,14 @@ from hudiff_tpu.training import pretrain as PT  # noqa: E402
 from hudiff_tpu.utils.config import load_yaml  # noqa: E402
 
 cfg = load_yaml(os.path.join(REPO, 'configs/heavy_test.yml'))
+# micro model: the test exercises the DISTRIBUTED mechanics (2-process mesh,
+# per-host shards, cross-process collectives), not model capacity — shrink
+# every width so the partitioned XLA CPU compile stays fast
+cfg.model.update(d_embedding=32, d_model=32, n_encoder_layers=1,
+                 s_model=32, r_model=32, n_pos_model=32, sum_d_model=64,
+                 dual_layers=1, att_model=32, dim_feedforward=64,
+                 nhead=4, cs_layers=1)
+cfg.train.batch_size = 8
 out_dir = PT.run(cfg, 'heavy', None, os.path.join(logdir, f'proc{pid}'),
                  synthetic=16, max_iter=1, valid_step=1, use_bf16=False,
                  seed=7)

@@ -1,0 +1,156 @@
+"""Component-level timing breakdown of the flagship AntiTFNet forward.
+
+Answers "where does the non-MXU time go?" (round-2 VERDICT weak #4): times
+the full forward and each architectural stage ON DEVICE via a lax.scan of K
+chained iterations inside ONE program — a single dispatch, every iteration
+on distinct data — so neither the host/tunnel dispatch latency nor the axon
+run cache contaminates per-iteration numbers. Reports XLA-estimated FLOPs,
+achieved TFLOP/s and % of bf16 peak per stage. Per-stage numbers exclude
+cross-stage fusion, so their sum can exceed the fused full forward.
+
+Run: PYTHONPATH=/root/repo[:/root/.axon_site] python tools/perf_breakdown.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax import lax  # noqa: E402
+
+K = int(os.environ.get('HUDIFF_BENCH_SCAN_K', 32))
+
+
+def _scan_time(body, x0, n_outer=3):
+    """Seconds per body() iteration: jit(scan(body, length=K)), timed over
+    n_outer dispatches with the carry chained across them."""
+    prog = jax.jit(lambda x: lax.scan(lambda c, _: (body(c), None), x,
+                                      None, length=K)[0])
+    x = prog(x0)
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    for _ in range(n_outer):
+        x = prog(x)
+    jax.block_until_ready(x)
+    return (time.perf_counter() - t0) / (n_outer * K)
+
+
+def _flops(fn, *args):
+    try:
+        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+        ca = cost[0] if isinstance(cost, (list, tuple)) else cost
+        return float(ca.get('flops', 0.0)) or None
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def main():
+    from bench import _chip_peak_tflops
+    from hudiff_tpu import constants as C
+    from hudiff_tpu.models.denoiser import (AntiTFNet, DenoiserConfig,
+                                            SelfAttNet, SplitConvTowers)
+    from hudiff_tpu.models.embedders import (PosEmbedder, RegionEmbedder,
+                                             SideEmbedder)
+
+    B = int(os.environ.get('HUDIFF_BENCH_B', 64))
+    cfg = DenoiserConfig()
+    dtype = jnp.bfloat16
+    rs = np.random.RandomState(0)
+    tokens = jnp.asarray(rs.randint(0, C.N_AA, (B, C.PAIR_LEN)), jnp.int32)
+    region = jnp.asarray(np.broadcast_to(
+        np.concatenate([C.HEAVY_REGION_INDEX, C.LIGHT_REGION_INDEX]),
+        (B, C.PAIR_LEN)).copy())
+    chain = jnp.asarray(np.tile([[0, 2]], (B, 1)))
+    key = jax.random.PRNGKey(0)
+
+    stages = {}
+
+    # full forward: carry = tokens; next tokens derived from the logits
+    # (exactly the sampling scan's data flow)
+    model = AntiTFNet(cfg, dtype=dtype)
+    params = model.init(key, tokens[:1], region[:1], chain[:1])
+    stages['full_forward'] = (
+        lambda t: jnp.argmax(
+            model.apply(params, t, region, chain), -1
+        ).astype(jnp.int32) % C.N_AA,
+        tokens,
+        lambda: _flops(lambda t: model.apply(params, t, region, chain),
+                       tokens))
+
+    x_emb = jnp.asarray(rs.randn(B, C.PAIR_LEN, cfg.d_model), dtype)
+    enc = SplitConvTowers(cfg.n_encoder_layers, cfg.d_model,
+                          cfg.aa_kernel_size, cfg.r, cfg.activation,
+                          cfg.dropout, dtype=dtype)
+    p_enc = enc.init(key, x_emb[:1])
+    stages['aa_conv_towers'] = (
+        lambda x: enc.apply(p_enc, x), x_emb,
+        lambda: _flops(lambda x: enc.apply(p_enc, x), x_emb))
+
+    x_sum = jnp.asarray(rs.randn(B, C.PAIR_LEN, cfg.sum_d_model), dtype)
+    dual = SplitConvTowers(cfg.dual_layers, cfg.sum_d_model,
+                           cfg.aa_kernel_size, cfg.r, 'relu', cfg.dropout,
+                           dtype=dtype)
+    p_dual = dual.init(key, x_sum[:1])
+    stages['dual_conv_towers'] = (
+        lambda x: dual.apply(p_dual, x), x_sum,
+        lambda: _flops(lambda x: dual.apply(p_dual, x), x_sum))
+
+    att = SelfAttNet(cfg.sum_d_model, cfg.att_model, cfg.dim_feedforward,
+                     cfg.nhead, cfg.max_len, cfg.cs_layers, dtype=dtype)
+    p_att = att.init(key, x_sum[:1])
+    stages['self_att_stack'] = (
+        lambda x: att.apply(p_att, x), x_sum,
+        lambda: _flops(lambda x: att.apply(p_att, x), x_sum))
+
+    # conditioning embedders: carry a feature whose first element perturbs
+    # the region input so iterations differ
+    side = SideEmbedder(cfg.n_side, cfg.s_embedding, cfg.s_model,
+                        C.HEAVY_LEN, C.LIGHT_LEN, dtype=dtype)
+    p_side = side.init(key, chain[:1])
+    reg = RegionEmbedder(cfg.n_region, cfg.r_embedding, cfg.r_model,
+                         dtype=dtype)
+    p_reg = reg.init(key, region[:1])
+    pos = PosEmbedder(cfg.n_pos_model, cfg.max_len, dtype=dtype)
+    p_pos = pos.init(key, jnp.zeros((1, C.PAIR_LEN, cfg.r_model), dtype))
+
+    def emb_body(carry):
+        r = (region + carry[:, :, 0].astype(jnp.int32)) % cfg.n_region
+        e = reg.apply(p_reg, r)
+        return pos.apply(p_pos, e) + side.apply(p_side, chain)
+    x_r = jnp.zeros((B, C.PAIR_LEN, cfg.s_model), dtype)
+    stages['embedders'] = (
+        emb_body, x_r, lambda: _flops(emb_body, x_r))
+
+    peak = _chip_peak_tflops()
+    rows = {}
+    for name, (body, x0, flops_fn) in stages.items():
+        dt = _scan_time(body, x0)
+        fl = flops_fn()
+        row = {'ms': round(dt * 1e3, 3)}
+        if fl:
+            row['gflops'] = round(fl / 1e9, 1)
+            row['tflops_per_sec'] = round(fl / dt / 1e12, 1)
+            if peak:
+                row['pct_of_bf16_peak'] = round(
+                    100 * fl / dt / 1e12 / peak, 1)
+        rows[name] = row
+        print(f'{name}: {json.dumps(row)}', file=sys.stderr)
+
+    total_stage_ms = sum(v['ms'] for k, v in rows.items()
+                         if k != 'full_forward')
+    print(json.dumps({'device': jax.devices()[0].device_kind,
+                      'batch': B, 'scan_k': K,
+                      'bf16_peak_tflops': peak,
+                      'stages': rows,
+                      'stage_sum_ms': round(total_stage_ms, 3)}, indent=2))
+
+
+if __name__ == '__main__':
+    main()
