@@ -83,9 +83,14 @@ def bench_pretrain_step(B: int = 128):
     state, m = compiled(state, tokens, chain, rng)  # warm
     jax.block_until_ready(m['loss'])
     n_rep = 5
+    # distinct rng per step: donated state buffers keep the same device
+    # handles across calls, which the tunnel's run cache can key on —
+    # varying an argument forces real execution every step
+    rngs = [jax.random.fold_in(rng, i) for i in range(n_rep)]
+    jax.block_until_ready(rngs)
     t0 = time.perf_counter()
-    for _ in range(n_rep):
-        state, m = compiled(state, tokens, chain, rng)
+    for i in range(n_rep):
+        state, m = compiled(state, tokens, chain, rngs[i])
     jax.block_until_ready(m['loss'])
     dt = (time.perf_counter() - t0) / n_rep
 

@@ -37,7 +37,7 @@ def test_two_process_pretrain_step(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=540)
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
