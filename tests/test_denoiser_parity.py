@@ -397,6 +397,57 @@ def test_full_antitfnet_numeric_parity():
 
 
 @needs_ref
+def test_torch_checkpoint_file_roundtrip(tmp_path):
+    """The on-disk path for released checkpoints: torch.save a reference
+    payload ({'model': state_dict, 'pretrain_config': ...}, the
+    antibody_finetune.py:348-355 layout), reload via load_torch_checkpoint,
+    convert, and match logits — covers file (de)serialization on top of the
+    in-memory parity tests."""
+    import jax
+    import jax.numpy as jnp
+
+    from hudiff_tpu import constants as C
+    from hudiff_tpu.models.denoiser import AntiTFNet, DenoiserConfig
+    from hudiff_tpu.training.checkpoints import (convert_torch_denoiser,
+                                                 load_torch_checkpoint)
+
+    torch.manual_seed(5)
+    d = 32
+    kw = dict(n_tokens=23, d_embedding=d, d_model=d, n_encoder_layers=1,
+              aa_kernel_size=5, r=4, n_side=3, s_embedding=4, s_model=d,
+              n_region=7, r_embedding=4, r_model=d, n_pos_model=d,
+              max_len=C.PAIR_LEN, sum_d_model=3 * d, dual_layers=1,
+              att_model=32, dim_feedforward=64, nhead=4, cs_layers=1,
+              activation='gelu')
+    net = _TorchAntiTFNet(**kw)
+    net.eval()
+    path = tmp_path / 'hudiffab.pt'
+    torch.save({'model': net.state_dict(), 'pretrain_config': {'x': 1}},
+               str(path))
+
+    ckpt = load_torch_checkpoint(str(path))
+    assert ckpt['pretrain_config'] == {'x': 1}
+    variables = convert_torch_denoiser(ckpt['model'], pair=True, nhead=4)
+
+    B = 2
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(0, 23, size=(B, C.PAIR_LEN))
+    region = np.tile(np.concatenate(
+        [np.asarray(C.HEAVY_REGION_INDEX),
+         np.asarray(C.LIGHT_REGION_INDEX)])[None, :], (B, 1))
+    chain_pairs = np.asarray([[0, 2], [0, 1]])
+    with torch.no_grad():
+        want = net(torch.from_numpy(tokens), torch.from_numpy(region),
+                   torch.from_numpy(chain_pairs.reshape(-1))).numpy()
+    cfg = DenoiserConfig(**{k: v for k, v in kw.items()
+                            if k != 'activation'}, activation='gelu')
+    got = np.asarray(AntiTFNet(cfg).apply(
+        jax.tree_util.tree_map(jnp.asarray, variables),
+        jnp.asarray(tokens), jnp.asarray(region), jnp.asarray(chain_pairs)))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+@needs_ref
 def test_full_nano_antitfnet_numeric_parity():
     """Same end-to-end guarantee for NanoAntiTFNet (hudiffnb.pt load path)."""
     import jax
