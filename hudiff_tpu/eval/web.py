@@ -75,10 +75,11 @@ def _chain_type(seq: str) -> str:
     direct K-vs-L profile comparison; low-margin calls are surfaced with a
     warning since they select which web database the score is fetched from."""
     from ..numbering import align as AL
-    group, _, _ = AL.detect_chain_type(seq)
+    scores = AL.profile_scores(seq)
+    group, _, _ = AL.detect_chain_type(seq, scores)
     if group == 'H':
         return 'H'
-    lgroup, margin = AL.classify_light(seq)
+    lgroup, margin = AL.classify_light(seq, scores)
     if margin < AL.LIGHT_MARGIN_AMBIGUOUS:
         import warnings
         warnings.warn(

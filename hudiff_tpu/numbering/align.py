@@ -220,21 +220,6 @@ def align_to_aho_batch(seqs, chain_type: str = 'H'):
 MIN_CHAIN_SCORE = 100.0
 
 
-def detect_chain_type(seq: str) -> Tuple[str, str, float]:
-    """Best-scoring consensus -> (chain_group 'H'/'K'/'L', profile key, score)."""
-    best = None
-    for key in ('H', 'K', 'L', 'VHH'):
-        res = align_to_aho(seq, key)
-        if res is None:
-            continue
-        if best is None or res[1] > best[2]:
-            group = 'H' if key in ('H', 'VHH') else key
-            best = (group, key, res[1])
-    if best is None:
-        raise ValueError('sequence could not be aligned to any chain profile')
-    return best
-
-
 def profile_scores(seq: str) -> Dict[str, float]:
     """Alignment score of ``seq`` against every chain-type consensus profile
     ('H'/'K'/'L'/'VHH'); profiles the sequence cannot align to are absent."""
@@ -246,6 +231,20 @@ def profile_scores(seq: str) -> Dict[str, float]:
     return out
 
 
+def detect_chain_type(seq: str, scores: Optional[Dict[str, float]] = None
+                      ) -> Tuple[str, str, float]:
+    """Best-scoring consensus -> (chain_group 'H'/'K'/'L', profile key, score).
+
+    Pass precomputed ``profile_scores(seq)`` to avoid re-running the four
+    NW alignments when the caller also needs classify_light."""
+    scores = profile_scores(seq) if scores is None else scores
+    if not scores:
+        raise ValueError('sequence could not be aligned to any chain profile')
+    profile = max(scores, key=scores.get)
+    group = 'H' if profile in ('H', 'VHH') else profile
+    return group, profile, scores[profile]
+
+
 # Kappa-vs-lambda decisions below this score margin (consensus NW scale;
 # real-domain scores are ~400-600 and typical K/L separation is >100) are
 # flagged as ambiguous so callers can warn instead of silently mis-typing
@@ -253,7 +252,8 @@ def profile_scores(seq: str) -> Dict[str, float]:
 LIGHT_MARGIN_AMBIGUOUS = 30.0
 
 
-def classify_light(seq: str) -> Tuple[str, float]:
+def classify_light(seq: str, scores: Optional[Dict[str, float]] = None
+                   ) -> Tuple[str, float]:
     """Type a light chain as kappa or lambda by direct K-vs-L profile
     comparison (never 'H', regardless of which profile scores best overall —
     the reference derives the same decision from abnumber's IMGT chain type).
@@ -261,8 +261,9 @@ def classify_light(seq: str) -> Tuple[str, float]:
     Returns ``(group, margin)``: group in {'K','L'} and the absolute K-L
     score margin. A margin below ``LIGHT_MARGIN_AMBIGUOUS`` means the call
     is unreliable; callers should surface that instead of trusting it.
+    Pass precomputed ``profile_scores(seq)`` to avoid re-aligning.
     """
-    scores = profile_scores(seq)
+    scores = profile_scores(seq) if scores is None else scores
     k = scores.get('K', float('-inf'))
     l = scores.get('L', float('-inf'))
     if k == float('-inf') and l == float('-inf'):

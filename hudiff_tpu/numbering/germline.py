@@ -353,12 +353,13 @@ def graft_seq(seq: str, group: Optional[str] = None,
     from . import align as AL
     from . import imgt as IMGT
     if group is None:
-        group, profile, _ = AL.detect_chain_type(seq)
+        scores = AL.profile_scores(seq)
+        group, profile, _ = AL.detect_chain_type(seq, scores)
         if group != 'H':
             # light chain: re-type by direct K-vs-L comparison and surface
             # low-margin (borderline lambda) calls instead of trusting the
-            # overall-best profile silently
-            group, margin = AL.classify_light(seq)
+            # overall-best profile silently (same alignment pass)
+            group, margin = AL.classify_light(seq, scores)
             if margin < AL.LIGHT_MARGIN_AMBIGUOUS:
                 import warnings
                 warnings.warn(

@@ -55,10 +55,12 @@ def pair_input(h_seq: str, l_seq: str, finetune: bool = False
     # failure would in the reference (scores: real domains ~500, junk <10)
     try:
         _, _, h_score = AL.detect_chain_type(h_seq)
-        _, _, l_score = AL.detect_chain_type(l_seq)
+        l_scores = AL.profile_scores(l_seq)
+        _, _, l_score = AL.detect_chain_type(l_seq, l_scores)
         # kappa/lambda by direct K-vs-L profile comparison (never forced to
-        # kappa when the overall best profile mis-scores as heavy)
-        l_group, l_margin = AL.classify_light(l_seq)
+        # kappa when the overall best profile mis-scores as heavy); reuses
+        # the same alignment pass
+        l_group, l_margin = AL.classify_light(l_seq, l_scores)
     except ValueError:
         return None
     if h_score < AL.MIN_CHAIN_SCORE or l_score < AL.MIN_CHAIN_SCORE:

@@ -158,8 +158,18 @@ class HumanizationService:
     def _pool(self, sample_number: int, rows: Optional[int]) -> int:
         """Candidate-pool rows per request: the best-of-pool selection needs
         more than one row even for sample_number=1 (reference
-        select_the_most_similarity_seq over the batch, sample.py:352-367)."""
-        return int(rows or max(sample_number, min(self.batch_size, 16)))
+        select_the_most_similarity_seq over the batch, sample.py:352-367).
+        Client-supplied 'rows' is validated: positive integer, capped at
+        1024 rows per request."""
+        if rows is None:
+            return max(sample_number, min(self.batch_size, 16))
+        try:
+            rows = int(rows)
+        except (TypeError, ValueError):
+            raise ValueError("'rows' must be a positive integer") from None
+        if rows < 1 or rows > 1024:
+            raise ValueError("'rows' must be between 1 and 1024")
+        return max(rows, 1)
 
     def humanize_ab(self, h_seq: str, l_seq: str, sample_number: int = 1,
                     method: str = 'FR', max_retry: int = 8,
@@ -285,6 +295,8 @@ def make_handler(service: HumanizationService):
                                        {'error': f'unknown path {self.path}'})
             except KeyError as e:
                 return self._reply(400, {'error': f'missing field {e}'})
+            except TypeError as e:
+                return self._reply(400, {'error': f'bad field type: {e}'})
             except ValueError as e:
                 return self._reply(422, {'error': str(e)})
             self._reply(200, out)

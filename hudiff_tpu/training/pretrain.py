@@ -140,12 +140,16 @@ def run(cfg: Namespace, kind: str, data_path: Optional[str], logdir: str,
             'params': state.params, 'opt_state': state.opt_state})
         # checkpoints are labeled by iteration; state.step counts optimizer
         # micro-steps (batch_acc per iteration). Older checkpoints without
-        # 'opt_steps' meta carried micro-steps as the label.
-        opt_steps = int(restored['meta'].get('opt_steps',
-                                             restored['step'] * batch_acc))
-        state = state.replace(params=restored['payload']['params'],
-                              opt_state=restored['payload']['opt_state'],
-                              step=jnp.asarray(opt_steps, jnp.int32))
+        # 'opt_steps' meta used the MICRO-step count as the label, so the
+        # label itself is the optimizer step count for them.
+        opt_steps = int(restored['meta'].get('opt_steps', restored['step']))
+        # lay the restored host trees out over the mesh (mixing restored
+        # single-device arrays with mesh-replicated ones fails at jit call)
+        rep = M.replicated(mesh)
+        state = state.replace(
+            params=jax.device_put(restored['payload']['params'], rep),
+            opt_state=jax.device_put(restored['payload']['opt_state'], rep),
+            step=jax.device_put(jnp.asarray(opt_steps, jnp.int32), rep))
         # continue at the persisted scheduler LR / patience / best-val
         # (reference payload carries the scheduler, antibody_train.py:438-445)
         meta = restored['meta']

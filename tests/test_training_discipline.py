@@ -162,6 +162,34 @@ def test_pretrain_iteration_semantics_match_reference(tmp_path):
 # ---------------------------------------------------------------------------
 
 @pytest.mark.slow
+def test_pretrain_resume_iteration_mapping(tmp_path):
+    """Resume restores the optimizer micro-step count from ckpt meta
+    ('opt_steps') and continues at the right ITERATION (label/batch_acc
+    semantics): a 2-iteration run (batch_acc=2 -> 4 opt steps) resumed to
+    max-iter 3 must log exactly iteration 3 with opt_steps 6."""
+    from hudiff_tpu.training import pretrain as PT_CLI
+    logdir = str(tmp_path / 'l1')
+    PT_CLI.main(['--config', os.path.join(REPO, 'configs/heavy_test.yml'),
+                 '--synthetic', '32', '--max-iter', '2', '--valid-step', '2',
+                 '--logdir', logdir])
+    ckpt = sorted(glob.glob(os.path.join(logdir, '*', 'checkpoints')))[-1]
+    meta = json.load(open(sorted(glob.glob(
+        os.path.join(ckpt, 'step_*.json')))[-1]))
+    assert meta['step'] == 2 and meta['opt_steps'] == 4
+
+    logdir2 = str(tmp_path / 'l2')
+    PT_CLI.main(['--config', os.path.join(REPO, 'configs/heavy_test.yml'),
+                 '--synthetic', '32', '--max-iter', '3', '--valid-step', '3',
+                 '--resume', ckpt, '--logdir', logdir2])
+    run2 = sorted(glob.glob(os.path.join(logdir2, '*')))[-1]
+    rows = [json.loads(line)
+            for line in open(os.path.join(run2, 'metrics.jsonl'))]
+    train = [(r['step'], int(r['train/opt_steps'])) for r in rows
+             if 'train/loss' in r]
+    assert train == [(3, 6)]
+
+
+@pytest.mark.slow
 def test_nano_finetune_resume_continues_state(heavy_pretrain_ckpt, tmp_path):
     from hudiff_tpu.training import finetune as FT_CLI
 

@@ -17,7 +17,6 @@ import functools
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -25,7 +24,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
-from jax import lax  # noqa: E402
 from jax.experimental import pallas as pl  # noqa: E402
 
 from hudiff_tpu.ops.pallas_attention import (_rot, _rot_matrix,  # noqa: E402
@@ -95,16 +93,7 @@ def current_layer(x, wqkv, bqkv, wout, bout, cos, sin, scale, heads):
     return o @ wout.astype(x.dtype) + bout.astype(x.dtype)
 
 
-def _scan_time(body, x0, K=32, n_outer=3):
-    prog = jax.jit(lambda x: lax.scan(lambda c, _: (body(c), None), x,
-                                      None, length=K)[0])
-    x = prog(x0)
-    jax.block_until_ready(x)
-    t0 = time.perf_counter()
-    for _ in range(n_outer):
-        x = prog(x)
-    jax.block_until_ready(x)
-    return (time.perf_counter() - t0) / (n_outer * K)
+from tools.perf_breakdown import _scan_time  # noqa: E402 - shared timing helper
 
 
 def main():
