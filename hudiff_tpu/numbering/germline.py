@@ -9,7 +9,7 @@ graft operates directly on the fixed IMGT grids.
 The library covers the functional IMGT human germline repertoire at one
 representative allele per functional gene across every V family that appears
 in expressed repertoires (IGHV1-7, IGKV1-6 incl. distinct-protein D-locus
-duplicates, IGLV1-8) plus the complete functional J sets (IGHJ1-6 as their
+duplicates, IGLV1-10) plus the complete functional J sets (IGHJ1-6 as their
 four distinct FR4 proteins, IGKJ1-5, IGLJ1/2/3/6/7). Germline amino-acid
 sequences are public scientific constants (IMGT/GENE-DB translations); every
 entry is structurally validated in tests (grid alignment, conserved IMGT
@@ -200,6 +200,11 @@ GERMLINE_V_LAMBDA: Dict[str, str] = {
                     'PSGIPERFSGSNSGNTATLTISRVEAGDEADYYCQVWDSSSDH'),
     'IGLV3-25*03': ('SYELTQPPSVSVSPGQTARITCSGDALPKKYAYWYQQKSGQAPVLVIYEDSKR'
                     'PSGIPERFSGSSSGTMATLTISGAQVEDEADYYCYSTDSSGNH'),
+    # --- IGLV4 / IGLV5 families ---
+    'IGLV4-69*01': ('QLPVLTQPPSASALLGASIKLTCTLSSEHSTYTIEWYQQRPGRSPQYIMKVK'
+                    'SDGSHSKGDGIPDRFMGSSSGADRYLTFSNLQSDDEAEYHCGESHTIDGQVG'),
+    'IGLV5-45*02': ('QAVLTQPASLSASPGASASLTCTLRSGINVGTYRIYWYQQKPGSPPQYLLRY'
+                    'KSDSDKQQGSGVPSRFSGSKDASANAGILLISGLQSEDEADYYCMIWHSSA'),
     # --- IGLV6 / IGLV7 / IGLV8 families ---
     'IGLV6-57*01': ('NFMLTQPHSVSESPGKTVTISCTRSSGSIASNYVQWYQQRPGSSPTTVIYEDN'
                     'QRPSGVPDRFSGSIDSSSNSASLTISGLKTEDEADYYCQSYDSSN'),
@@ -209,6 +214,11 @@ GERMLINE_V_LAMBDA: Dict[str, str] = {
                     'SNKHSWTPARFSGSLLGGKAALTLSGAQPEDEAEYYCLLSYSGAR'),
     'IGLV8-61*01': ('QTVVTQEPSFSVSPGGTVTLTCGLSSGSVSTSYYPSWYQQTPGQAPRTLIYST'
                     'NTRSSGVPDRFSGSILGNKAALTITGAQADDESDYYCVLYMGSGIS'),
+    # --- IGLV9 / IGLV10 families ---
+    'IGLV9-49*01': ('QPVLTQPPSLSVSPGNTAKLTCTLSSGHSSYAIAWHQQQPEKGPRYLMKLNS'
+                    'DGSHSKGDGIPDRFSGSSSGAERYLTISSLQSEDEADYYCQTWGTGI'),
+    'IGLV10-54*01': ('QAGLTQPPSVSKGLRQTATLTCTGNSNNVGNQGAAWLQQHQGHPPKLLSYR'
+                     'NNNRPSGISERLSASRSGNTASLTITGLQPEDEADYYCSAWDSSLSA'),
 }
 
 # J-gene FR4 contributions: heavy = IMGT 118-128 (11 residues),

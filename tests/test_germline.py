@@ -31,12 +31,12 @@ def test_library_covers_functional_repertoire():
         n.split('-')[0] for n in G.GERMLINE_V_HEAVY}
     assert {f'IGKV{i}' for i in range(1, 7)} <= {
         n.split('-')[0] for n in G.GERMLINE_V_KAPPA}
-    assert {f'IGLV{i}' for i in (1, 2, 3, 6, 7, 8)} <= {
+    assert {f'IGLV{i}' for i in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)} <= {
         n.split('-')[0] for n in G.GERMLINE_V_LAMBDA}
     # gene counts at functional-repertoire scale
     assert len(G.GERMLINE_V_HEAVY) >= 40
     assert len(G.GERMLINE_V_KAPPA) >= 18
-    assert len(G.GERMLINE_V_LAMBDA) >= 17
+    assert len(G.GERMLINE_V_LAMBDA) >= 21
     # complete J FR4 protein sets
     assert set(G.GERMLINE_J_HEAVY.values()) == {
         'WGRGTLVTVSS', 'WGQGTMVTVSS', 'WGQGTLVTVSS', 'WGQGTTVTVSS'}
