@@ -215,7 +215,7 @@ GERMLINE_V_LAMBDA: Dict[str, str] = {
     'IGLV8-61*01': ('QTVVTQEPSFSVSPGGTVTLTCGLSSGSVSTSYYPSWYQQTPGQAPRTLIYST'
                     'NTRSSGVPDRFSGSILGNKAALTITGAQADDESDYYCVLYMGSGIS'),
     # --- IGLV9 / IGLV10 families ---
-    'IGLV9-49*01': ('QPVLTQPPSLSVSPGNTAKLTCTLSSGHSSYAIAWHQQQPEKGPRYLMKLNS'
+    'IGLV9-49*01': ('QPVLTQPPSASASLGASVKLTCTLSSGHSSYAIAWHQQQPEKGPRYLMKLNS'
                     'DGSHSKGDGIPDRFSGSSSGAERYLTISSLQSEDEADYYCQTWGTGI'),
     'IGLV10-54*01': ('QAGLTQPPSVSKGLRQTATLTCTGNSNNVGNQGAAWLQQHQGHPPKLLSYR'
                      'NNNRPSGISERLSASRSGNTASLTITGLQPEDEADYYCSAWDSSLSA'),

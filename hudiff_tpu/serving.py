@@ -169,7 +169,7 @@ class HumanizationService:
             raise ValueError("'rows' must be a positive integer") from None
         if rows < 1 or rows > 1024:
             raise ValueError("'rows' must be between 1 and 1024")
-        return max(rows, 1)
+        return rows
 
     def humanize_ab(self, h_seq: str, l_seq: str, sample_number: int = 1,
                     method: str = 'FR', max_retry: int = 8,
@@ -273,17 +273,27 @@ def make_handler(service: HumanizationService):
             if not isinstance(req, dict):
                 return self._reply(
                     400, {'error': 'JSON body must be an object'})
+
+            def as_int(name, default):
+                # narrow validation: int() on a list raises TypeError,
+                # which must become a client 400, not a handler crash
+                try:
+                    return int(req.get(name, default))
+                except (TypeError, ValueError):
+                    raise ValueError(
+                        f"'{name}' must be an integer") from None
+
             try:
                 if self.path == '/humanize/ab':
                     out = service.humanize_ab(
                         req['h_seq'], req['l_seq'],
-                        sample_number=int(req.get('sample_number', 1)),
+                        sample_number=as_int('sample_number', 1),
                         method=req.get('method', 'FR'),
                         rows=req.get('rows'))
                 elif self.path == '/humanize/nano':
                     out = service.humanize_nano(
                         req['vhh_seq'],
-                        sample_number=int(req.get('sample_number', 1)),
+                        sample_number=as_int('sample_number', 1),
                         method=req.get('method', 'FR'),
                         rows=req.get('rows'))
                 elif self.path == '/graft':
@@ -295,8 +305,6 @@ def make_handler(service: HumanizationService):
                                        {'error': f'unknown path {self.path}'})
             except KeyError as e:
                 return self._reply(400, {'error': f'missing field {e}'})
-            except TypeError as e:
-                return self._reply(400, {'error': f'bad field type: {e}'})
             except ValueError as e:
                 return self._reply(422, {'error': str(e)})
             self._reply(200, out)

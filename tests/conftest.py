@@ -20,10 +20,9 @@ jax.config.update("jax_platforms", "cpu")
 # CPU compiles of the same tiny programs (fresh processes recompile
 # everything); a shared on-disk cache makes reruns and the 2-process
 # multihost workers (which compile identical programs) near-instant
-_cache_dir = os.environ.get('HUDIFF_JAX_CACHE',
-                            os.path.join('/tmp', 'hudiff_jax_cache'))
-jax.config.update('jax_compilation_cache_dir', _cache_dir)
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+from hudiff_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 import glob  # noqa: E402
 

@@ -26,10 +26,9 @@ import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
 # share the suite's persistent compile cache: both workers compile identical
 # programs, so the second (and any rerun) reads instead of compiling
-jax.config.update('jax_compilation_cache_dir',
-                  os.environ.get('HUDIFF_JAX_CACHE',
-                                 os.path.join('/tmp', 'hudiff_jax_cache')))
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+from hudiff_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 jax.distributed.initialize(coordinator_address=f'127.0.0.1:{port}',
                            num_processes=nproc, process_id=pid)
 assert jax.process_count() == nproc, jax.process_count()

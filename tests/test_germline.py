@@ -77,9 +77,11 @@ def test_abnumber_agreement_if_available():
     chain = abnumber.Chain(MOUSE_H, scheme='imgt')
     ab_graft = chain.graft_cdrs_onto_human_germline()
     ours = G.graft_seq(MOUSE_H, 'H')
-    # same V gene selected (abnumber exposes it as Chain.v_gene)
-    ab_v = str(getattr(ab_graft, 'v_gene', '') or '')
-    assert ours['v_gene'].split('*')[0] in ab_v or ab_v == ''
+    # same V FAMILY selected (exact gene can differ on near-tie identity;
+    # abnumber exposes the selection as Chain.v_gene)
+    ab_v = str(ab_graft.v_gene)
+    assert ours['v_gene'].split('-')[0] == ab_v.split('-')[0], (
+        ours['v_gene'], ab_v)
     # grafted FR sequences agree outside CDR-adjacent wobble
     assert sum(a == b for a, b in zip(ours['seq'], str(ab_graft.seq))) \
         >= 0.9 * min(len(ours['seq']), len(str(ab_graft.seq)))
