@@ -170,6 +170,71 @@ class OasPairDataset:
         return self.store[int(idx)]
 
 
+def build_pair_dataset_from_csv(csv_path: str, out_dir: str,
+                                h_column: str = 'h_seq',
+                                l_column: str = 'l_seq',
+                                name_column: str = 'name',
+                                type_filter: Optional[str] = None,
+                                version: str = 'tmp',
+                                split_ratio: float = 0.95,
+                                seed: int = 2023) -> str:
+    """Build a PAIRED training dataset directly from a raw H/L sequence CSV
+    (columns name,h_seq,l_seq; e.g. the shipped HuAb348 CSVs) using the
+    numbering layer for IMGT grid placement and AHo alignment — a path the
+    reference does not have at all (its pair pipeline only consumes OAS
+    csv.gz downloads with embedded ANARCI numbering).
+
+    ``type_filter`` keeps only rows whose 'type' column matches (e.g.
+    'humanized'). Writes the RecordStore + split index in the layout
+    OasPairDataset expects and returns ``out_dir`` (feed it to
+    OasPairDataset(out_dir, version=...) or `pretrain --data out_dir`).
+    """
+    import pandas as pd
+    from ..numbering import aho as aho_numbering
+    from ..numbering import align as AL
+    from ..numbering import imgt as imgt_numbering
+
+    df = pd.read_csv(csv_path)
+    if type_filter is not None and 'type' in df.columns:
+        df = df[df['type'] == type_filter].reset_index(drop=True)
+    proc_dir = os.path.join(out_dir, 'processed')
+    store_path = os.path.join(proc_dir, f'oas_pair_{version}')
+    index_path = os.path.join(proc_dir, f'oas_pair_index_{version}.npz')
+    os.makedirs(proc_dir, exist_ok=True)
+    n_written = 0
+    with rs.RecordStoreWriter(store_path) as w:
+        for i, r in df.iterrows():
+            h_seq, l_seq = str(r[h_column]), str(r[l_column])
+            try:
+                l_group, _ = AL.classify_light(l_seq)
+            except ValueError:
+                log.warning('row %d: light chain unalignable; skipped', i)
+                continue
+            h = imgt_numbering.grid_string(h_seq, heavy=True, chain_hint='H')
+            l = imgt_numbering.grid_string(l_seq, heavy=False,
+                                           chain_hint=l_group)
+            aho_h = aho_numbering.align_aho(h_seq, chain='H')
+            aho_l = aho_numbering.align_aho(l_seq, chain=l_group)
+            if h is None or l is None or aho_h is None or aho_l is None:
+                log.warning('row %d unalignable; skipped', i)
+                continue
+            w.put_obj({
+                'name': str(r.get(name_column, f'pair_{i}')),
+                'h_seq': h_seq, 'l_seq': l_seq,
+                'h_pad_seq': h['grid'], 'l_pad_seq': l['grid'],
+                'aho_h_pad_seq': aho_h, 'aho_l_pad_seq': aho_l,
+                'h_type': 'H', 'l_type': l_group,
+            })
+            n_written += 1
+    ids = np.arange(n_written)
+    np.random.RandomState(seed).shuffle(ids)
+    split = int(n_written * split_ratio)
+    np.savez(index_path, train=ids[:split], val=ids[split:])
+    log.info('wrote %d/%d pair records to %s', n_written, len(df),
+             store_path)
+    return out_dir
+
+
 def build_vhh_dataset_from_csv(csv_path: str, out_dir: str,
                                seq_column: Optional[str] = None,
                                is_VHH: bool = True) -> str:
@@ -353,12 +418,28 @@ def main(argv=None):
     q.add_argument('--out', required=True)
     q.add_argument('--seq-column', default=None)
 
+    q = sub.add_parser('pair-from-csv',
+                       help='paired store from a raw name,h_seq,l_seq CSV '
+                            '(no OAS download / embedded ANARCI needed)')
+    q.add_argument('--csv', required=True)
+    q.add_argument('--out', required=True)
+    q.add_argument('--type-filter', default=None,
+                   help="keep only rows whose 'type' column matches")
+    q.add_argument('--version', default='tmp',
+                   help="store version tag; 'tmp' (default) is what "
+                        "`pretrain --data <out>` looks for")
+
     args = p.parse_args(argv)
     if args.cmd == 'pair':
         ds = OasPairDataset(args.raw_path, mouse=args.mouse,
                             version=args.version)
     elif args.cmd in ('heavy', 'vhh'):
         ds = OasUnpairDataset(args.data, chaintype=args.cmd)
+    elif args.cmd == 'pair-from-csv':
+        out = build_pair_dataset_from_csv(args.csv, args.out,
+                                          type_filter=args.type_filter,
+                                          version=args.version)
+        ds = OasPairDataset(out, version=args.version)
     else:
         pkl = build_vhh_dataset_from_csv(args.csv, args.out,
                                          seq_column=args.seq_column)

@@ -108,3 +108,36 @@ def test_parse_cgz_dedup_across_files(cgz, tmp_path):
     out1, chn = oas.parse_cgz_file(path, set())
     out2, chn = oas.parse_cgz_file(path, chn)  # same file again
     assert len(out1) == 2 and len(out2) == 0  # all pairs already seen
+
+
+def test_build_pair_dataset_from_csv(tmp_path):
+    """CSV -> paired RecordStore path (no OAS download needed): built store
+    loads through OasPairDataset and feeds pair_batch."""
+    import pandas as pd
+
+    from hudiff_tpu import constants as C
+    from hudiff_tpu.data import oas
+    from hudiff_tpu.tokenizer import Tokenizer
+
+    h = ('QVQLVQSGAEVKKPGASVKVSCKASGYTFTGYYMHWVRQAPGQGLEWMGWINPNSGGTNYA'
+         'QKFQGRVTMTRDTSISTAYMELSRLRSDDTAVYYCARDLRGYFDYWGQGTLVTVSS')
+    l = ('DIQMTQSPSSLSASVGDRVTITCRASQSISSYLNWYQQKPGKAPKLLIYAASSLQSGVPSR'
+         'FSGSGSGTDFTLTISSLQPEDFATYYCQQSYSTPLTFGGGTKVEIK')
+    csv = tmp_path / 'pairs.csv'
+    pd.DataFrame({'type': ['humanized', 'mouse', 'humanized'],
+                  'name': ['a', 'b', 'c'],
+                  'h_seq': [h, h, h], 'l_seq': [l, l, l]}).to_csv(
+        csv, index=False)
+    out = oas.build_pair_dataset_from_csv(str(csv), str(tmp_path / 'ds'),
+                                          type_filter='humanized',
+                                          split_ratio=0.5)
+    ds = oas.OasPairDataset(out)
+    assert len(ds) == 2  # mouse row filtered out
+    rec = ds[0]
+    assert len(rec['h_pad_seq']) == C.HEAVY_LEN
+    assert len(rec['l_pad_seq']) == C.LIGHT_LEN
+    assert len(rec['aho_h_pad_seq']) == C.AHO_LEN
+    assert rec['l_type'] in ('K', 'L')
+    batch = oas.pair_batch([ds[i] for i in range(len(ds))], Tokenizer())
+    assert batch['tokens'].shape == (2, C.PAIR_LEN)
+    assert batch['chain_type'].shape == (2, 2)
