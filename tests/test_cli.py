@@ -114,3 +114,20 @@ def test_ab_finetune_then_humanize(pair_pretrain_ckpt, tmp_path):
     assert csvs
     rows = _read_rows(csvs[0])
     assert any(r.startswith('humanization,') for r in rows)
+
+
+def test_shipped_demo_checkpoint_loads():
+    """examples/demo_ab_tiny must keep loading through load_denoiser (the
+    README quickstart path) and produce a full humanization."""
+    demo = os.path.join(REPO, 'examples', 'demo_ab_tiny')
+    model, variables, finetuned = H.load_denoiser(demo, 'pair',
+                                                  use_bf16=False)
+    assert not finetuned
+    hum = H.PairHumanizer(model, variables, batch_size=2, seed=3)
+    res = hum('QVQLQQPGAELVKPGASVKLSCKASGYTFTSYWMHWVKQRPGQGLEWIGEINPSNGRTNY'
+              'NEKFKSKATLTVDKSSSTAYMQLSSLTSEDSAVYYCARGGYYFDYWGQGTTLTVSS',
+              'DIVMTQSQKFMSTSVGDRVSVTCKASQNVGTNVAWYQQKPGQSPKALIYSASYRYSGVPD'
+              'RFTGSGSGTDFTLTISNVQSEDLAEYFCQQYNSYPLTFGAGTKLELK')
+    assert res is not None and len(res['h_seqs']) == 2
+    from hudiff_tpu import constants as C
+    assert (res['grids'] != C.IDX_MSK).all()
