@@ -131,3 +131,14 @@ def test_shipped_demo_checkpoint_loads():
     assert res is not None and len(res['h_seqs']) == 2
     from hudiff_tpu import constants as C
     assert (res['grids'] != C.IDX_MSK).all()
+
+
+def test_shipped_nano_demo_checkpoint_loads():
+    """examples/demo_nb_tiny loads and humanizes a VHH (README path)."""
+    demo = os.path.join(REPO, 'examples', 'demo_nb_tiny')
+    model, variables, finetuned = H.load_denoiser(demo, 'heavy',
+                                                  use_bf16=False)
+    assert not finetuned
+    hum = H.NanoHumanizer(model, variables, batch_size=2, seed=5)
+    res = hum(VHH)
+    assert res is not None and len(res['seqs']) >= 1
