@@ -190,39 +190,51 @@ def build_pair_dataset_from_csv(csv_path: str, out_dir: str,
     OasPairDataset(out_dir, version=...) or `pretrain --data out_dir`).
     """
     import pandas as pd
-    from ..numbering import aho as aho_numbering
     from ..numbering import align as AL
     from ..numbering import imgt as imgt_numbering
 
     df = pd.read_csv(csv_path)
-    if type_filter is not None and 'type' in df.columns:
+    if type_filter is not None:
+        if 'type' not in df.columns:
+            raise ValueError(
+                f"--type-filter given but {csv_path} has no 'type' column "
+                f'(columns: {list(df.columns)})')
         df = df[df['type'] == type_filter].reset_index(drop=True)
     proc_dir = os.path.join(out_dir, 'processed')
     store_path = os.path.join(proc_dir, f'oas_pair_{version}')
     index_path = os.path.join(proc_dir, f'oas_pair_index_{version}.npz')
     os.makedirs(proc_dir, exist_ok=True)
     n_written = 0
+    seen: set = set()  # dedup (H, L) pairs like parse_cgz_file's chn_set —
+    # duplicates would otherwise leak across the random train/val split
     with rs.RecordStoreWriter(store_path) as w:
         for i, r in df.iterrows():
             h_seq, l_seq = str(r[h_column]), str(r[l_column])
+            if (h_seq, l_seq) in seen:
+                continue
+            seen.add((h_seq, l_seq))
             try:
-                l_group, _ = AL.classify_light(l_seq)
+                # one alignment pass yields typing + margin; grid_string
+                # carries the AHo alignment, so nothing aligns twice
+                l_scores = AL.profile_scores(l_seq)
+                l_group, l_margin = AL.classify_light(l_seq, l_scores)
             except ValueError:
                 log.warning('row %d: light chain unalignable; skipped', i)
                 continue
+            if l_margin < AL.LIGHT_MARGIN_AMBIGUOUS:
+                log.warning('row %d: ambiguous light-chain type (K-L margin '
+                            '%.1f); recording as %s', i, l_margin, l_group)
             h = imgt_numbering.grid_string(h_seq, heavy=True, chain_hint='H')
             l = imgt_numbering.grid_string(l_seq, heavy=False,
                                            chain_hint=l_group)
-            aho_h = aho_numbering.align_aho(h_seq, chain='H')
-            aho_l = aho_numbering.align_aho(l_seq, chain=l_group)
-            if h is None or l is None or aho_h is None or aho_l is None:
+            if h is None or l is None:
                 log.warning('row %d unalignable; skipped', i)
                 continue
             w.put_obj({
                 'name': str(r.get(name_column, f'pair_{i}')),
                 'h_seq': h_seq, 'l_seq': l_seq,
                 'h_pad_seq': h['grid'], 'l_pad_seq': l['grid'],
-                'aho_h_pad_seq': aho_h, 'aho_l_pad_seq': aho_l,
+                'aho_h_pad_seq': h['aho'], 'aho_l_pad_seq': l['aho'],
                 'h_type': 'H', 'l_type': l_group,
             })
             n_written += 1

@@ -123,16 +123,19 @@ def test_build_pair_dataset_from_csv(tmp_path):
          'QKFQGRVTMTRDTSISTAYMELSRLRSDDTAVYYCARDLRGYFDYWGQGTLVTVSS')
     l = ('DIQMTQSPSSLSASVGDRVTITCRASQSISSYLNWYQQKPGKAPKLLIYAASSLQSGVPSR'
          'FSGSGSGTDFTLTISSLQPEDFATYYCQQSYSTPLTFGGGTKVEIK')
+    h2 = h.replace('GYYMH', 'GYYIH')  # distinct second pair
     csv = tmp_path / 'pairs.csv'
-    pd.DataFrame({'type': ['humanized', 'mouse', 'humanized'],
-                  'name': ['a', 'b', 'c'],
-                  'h_seq': [h, h, h], 'l_seq': [l, l, l]}).to_csv(
+    pd.DataFrame({'type': ['humanized', 'mouse', 'humanized', 'humanized'],
+                  'name': ['a', 'b', 'c', 'dup_of_a'],
+                  'h_seq': [h, h, h2, h], 'l_seq': [l, l, l, l]}).to_csv(
         csv, index=False)
     out = oas.build_pair_dataset_from_csv(str(csv), str(tmp_path / 'ds'),
                                           type_filter='humanized',
                                           split_ratio=0.5)
     ds = oas.OasPairDataset(out)
-    assert len(ds) == 2  # mouse row filtered out
+    # mouse row filtered out AND the duplicate (H, L) pair deduplicated
+    # (duplicates would leak across the random train/val split)
+    assert len(ds) == 2
     rec = ds[0]
     assert len(rec['h_pad_seq']) == C.HEAVY_LEN
     assert len(rec['l_pad_seq']) == C.LIGHT_LEN
@@ -141,3 +144,18 @@ def test_build_pair_dataset_from_csv(tmp_path):
     batch = oas.pair_batch([ds[i] for i in range(len(ds))], Tokenizer())
     assert batch['tokens'].shape == (2, C.PAIR_LEN)
     assert batch['chain_type'].shape == (2, 2)
+
+
+def test_build_pair_dataset_type_filter_requires_column(tmp_path):
+    """--type-filter on a CSV without a 'type' column must error loudly,
+    not silently train on every row."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from hudiff_tpu.data import oas
+    csv = tmp_path / 'p.csv'
+    pd.DataFrame({'name': ['a'], 'h_seq': ['QVQ'], 'l_seq': ['DIQ']}).to_csv(
+        csv, index=False)
+    with _pytest.raises(ValueError, match="no 'type' column"):
+        oas.build_pair_dataset_from_csv(str(csv), str(tmp_path / 'ds'),
+                                        type_filter='humanized')
