@@ -109,6 +109,8 @@ class HumanizationService:
                  window_ms: float = 4.0):
         from .sampling import humanize as H
         self._lock = threading.Lock()
+        self._stats_lock = threading.Lock()
+        self._stats: Dict[str, Dict] = {}
         self.batch_size = batch_size
         # the packed program size requests coalesce into; > batch_size means
         # several requests' candidate pools ride one device round
@@ -244,6 +246,34 @@ class HumanizationService:
                 'device': str(jax.devices()[0]),
                 'device_rounds': rounds}
 
+    def record_request(self, endpoint: str, seconds: float,
+                       ok: bool) -> None:
+        with self._stats_lock:
+            s = self._stats.setdefault(
+                endpoint, {'count': 0, 'errors': 0, 'total_sec': 0.0,
+                           'max_sec': 0.0})
+            s['count'] += 1
+            if not ok:
+                s['errors'] += 1
+            s['total_sec'] += seconds
+            s['max_sec'] = max(s['max_sec'], seconds)
+
+    def metrics(self) -> Dict:
+        """Per-endpoint request counters + device-round totals
+        (GET /metrics)."""
+        with self._stats_lock:
+            out = {}
+            for ep, s in self._stats.items():
+                out[ep] = {
+                    'count': s['count'], 'errors': s['errors'],
+                    'mean_sec': round(s['total_sec'] / max(s['count'], 1), 4),
+                    'max_sec': round(s['max_sec'], 4),
+                }
+        rounds = {name: coal.rounds for name, coal in
+                  (('ab', self.ab_coal), ('nano', self.nano_coal))
+                  if coal is not None}
+        return {'endpoints': out, 'device_rounds': rounds}
+
 
 def make_handler(service: HumanizationService):
     class Handler(BaseHTTPRequestHandler):
@@ -251,6 +281,7 @@ def make_handler(service: HumanizationService):
             pass
 
         def _reply(self, code: int, payload: Dict) -> None:
+            self._last_code = code
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header('Content-Type', 'application/json')
@@ -261,10 +292,21 @@ def make_handler(service: HumanizationService):
         def do_GET(self):
             if self.path == '/health':
                 self._reply(200, service.health())
+            elif self.path == '/metrics':
+                self._reply(200, service.metrics())
             else:
                 self._reply(404, {'error': f'unknown path {self.path}'})
 
         def do_POST(self):
+            t0 = time.monotonic()
+            ok = False
+            try:
+                self._do_post_inner()
+                ok = 200 <= getattr(self, '_last_code', 500) < 300
+            finally:
+                service.record_request(self.path, time.monotonic() - t0, ok)
+
+        def _do_post_inner(self):
             try:
                 n = int(self.headers.get('Content-Length', 0))
                 req = json.loads(self.rfile.read(n) or b'{}')

@@ -154,3 +154,15 @@ def test_request_coalescing(serve_ctx):
     # 6 requests x 1 row = 6 rows <= device_batch 8 -> one shared round
     # (allow 2 in case a thread lands after the first window closes)
     assert service.ab_coal.rounds - rounds_before <= 2
+
+
+def test_metrics_endpoint(server):
+    """GET /metrics reports per-endpoint counters + device rounds."""
+    _post(server + '/humanize/ab', {'h_seq': H1, 'l_seq': L1})
+    _post(server + '/humanize/ab', {'h_seq': 'AAAA', 'l_seq': 'GG'})  # 422
+    with urllib.request.urlopen(server + '/metrics', timeout=60) as r:
+        m = json.loads(r.read())
+    ep = m['endpoints']['/humanize/ab']
+    assert ep['count'] >= 2 and ep['errors'] >= 1
+    assert ep['mean_sec'] > 0 and ep['max_sec'] >= ep['mean_sec']
+    assert m['device_rounds']['ab'] >= 1
