@@ -22,6 +22,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from hudiff_tpu.utils.compile_cache import enable_compile_cache
+
+# Compiles on the tunnel run minutes; the persistent cache makes the
+# driver's bench run hit warm executables from the pre-warm run.
+enable_compile_cache()
+
 
 # bf16 peak TFLOP/s per chip for MFU accounting (public spec sheets).
 _BF16_PEAK_TFLOPS = {

@@ -162,16 +162,35 @@ def pair_inpaint_input(h_seq: str, l_seq: str
     return out
 
 
+def _is_heavy_type(seq) -> bool:
+    """True when ``seq`` is a string that aligns as a heavy-group chain above
+    the fragment floor — the acceptance test behind nano_input and the
+    nano FASTA record scan."""
+    if not isinstance(seq, str) or not seq.strip():
+        return False
+    try:
+        group, _, score = AL.detect_chain_type(seq)
+    except ValueError:
+        return False
+    return group == 'H' and score >= AL.MIN_CHAIN_SCORE
+
+
 def nano_input(vhh_seq: str, finetune: bool = False, inpaint: bool = False
                ) -> Optional[Dict[str, np.ndarray]]:
     """152-grid input for one nanobody
     (reference batch_input_element, nanosample.py:124-149)."""
     try:
-        _, _, score = AL.detect_chain_type(vhh_seq)
-    except ValueError:
-        return None
+        group, _, score = AL.detect_chain_type(vhh_seq)
+    except (ValueError, TypeError):
+        return None  # unalignable / non-string input
     if score < AL.MIN_CHAIN_SCORE:
         return None  # fragment / non-antibody input
+    if group != 'H':
+        # a kappa/lambda light chain aligns fine but is NOT a nanobody; the
+        # chain_hint below bypasses grid_string's heavy gate, so the gate
+        # must be applied here (the reference rejects via abnumber chain
+        # typing, sample_for_nano_cdr.py:32-46)
+        return None
     h = IMGT.grid_string(vhh_seq, heavy=True, chain_hint='VHH')
     if h is None:
         return None
@@ -464,8 +483,10 @@ class NanoHumanizer:
                 continue
             out = np.stack(grids[i])
             seqs = [_TOK.idx2seq(row) for row in out]
-            valid_ix = [k for k, sq in enumerate(seqs)
-                        if AL.align_to_aho(sq, 'H') is not None]
+            # one native batch alignment crossing for all candidates instead
+            # of N python DP runs (align.align_to_aho_batch)
+            aligned = AL.align_to_aho_batch(seqs, 'H')
+            valid_ix = [k for k, a in enumerate(aligned) if a is not None]
             if not valid_ix:
                 results.append(None)
                 continue
@@ -495,9 +516,10 @@ class NanoHumanizer:
             seqs = [_TOK.idx2seq(row) for row in out]
             # validity retry (reference nanosample.py:338-353): sequences must
             # still align as heavy chains; only valid candidates are returned
-            # (and the best-of-batch is picked among them)
-            valid_ix = [i for i, s in enumerate(seqs)
-                        if AL.align_to_aho(s, 'H') is not None]
+            # (and the best-of-batch is picked among them). One batched
+            # alignment call for the whole candidate batch.
+            aligned = AL.align_to_aho_batch(seqs, 'H')
+            valid_ix = [i for i, a in enumerate(aligned) if a is not None]
             if valid_ix:
                 grids = out[valid_ix]
                 vseqs = [seqs[i] for i in valid_ix]
@@ -517,8 +539,14 @@ def collect_unique(sample_fn, target: int, max_retry: int):
     (reference loops to N distinct, sample.py:181-217).
 
     ``sample_fn() -> list-of-candidates | None`` (None = alignment/validity
-    failure for the round). Returns ``(unique, failed)`` — the shared
-    semantics behind the CLI loops, the Python api, and the HTTP service.
+    failure for the round). A None round is NOT terminal: the nanobody
+    validity filter is stochastic (a round where every candidate fails the
+    AHo re-alignment can be followed by a good round), so the loop keeps
+    retrying — matching the packed loops, which ``continue`` on a None
+    result. Returns ``(unique, failed)``; ``failed`` is True when at least
+    one round returned None, so callers report a skip only via
+    ``failed and not unique`` — the shared semantics behind the CLI loops,
+    the Python api, and the HTTP service.
     """
     unique: list = []
     seen: set = set()
@@ -527,14 +555,21 @@ def collect_unique(sample_fn, target: int, max_retry: int):
         cands = sample_fn()
         if cands is None:
             failed = True
-            break
-        for c in cands:
-            if c not in seen and len(unique) < target:
-                seen.add(c)
-                unique.append(c)
+            continue
+        _dedup_into(seen, unique, cands, target)
         if len(unique) >= target:
             break
     return unique, failed
+
+
+def _dedup_into(seen: set, unique: list, cands, target: int) -> None:
+    """Accumulate candidates into ``unique`` up to ``target``, skipping
+    duplicates — the one definition of the dedup semantics shared by
+    collect_unique and both packed dataset loops."""
+    for c in cands:
+        if c not in seen and len(unique) < target:
+            seen.add(c)
+            unique.append(c)
 
 
 def _write_csv_header(path: str) -> None:
@@ -663,10 +698,7 @@ def _packed_pair_loop(hum: PairHumanizer, pairs, finetune: bool, args,
                 continue
             cands = ([res['best']] if args.similarity_search
                      else list(zip(res['h_seqs'], res['l_seqs'])))
-            for cand in cands:
-                if cand not in seen[i] and len(unique[i]) < target:
-                    seen[i].add(cand)
-                    unique[i].append(cand)
+            _dedup_into(seen[i], unique[i], cands, target)
     with open(save_fpath, 'a', encoding='UTF-8') as f:
         for i, (name, h_seq, l_seq) in enumerate(pairs):
             # parental row always written (same as the unpacked path, which
@@ -698,17 +730,31 @@ def run_nano(args) -> str:
                         positions_per_step=args.positions_per_step)
 
     if args.fasta:
-        # first heavy-type record of a FASTA
+        # first HEAVY-type record of a FASTA — actually type-checked, so a
+        # complex FASTA whose first record is a light chain is not silently
+        # humanized as a nanobody
         # (reference sample_for_nano_cdr.get_nano_seq_from_fasta, :32-46)
         from ..eval.biophi import read_fasta
         records = read_fasta(args.fasta)
-        rows = [(records[0][0].split()[0], records[0][1])]
+        rec = next((r for r in records if _is_heavy_type(r[1])), None)
+        if rec is None:
+            raise SystemExit(
+                f'no heavy-type record found in {args.fasta} '
+                f'({len(records)} records scanned)')
+        rows = [(rec[0].split()[0], rec[1])]
     elif args.vhh_seq:
         rows = [('input', args.vhh_seq)]
     else:
         df = pd.read_csv(args.data_fpath)
         col = 'vhhseq' if 'vhhseq' in df.columns else 'vhh_seq'
-        rows = [(str(i), s) for i, s in enumerate(df[col])]
+        # missing/non-string cells (NaN floats from pandas) are skipped with
+        # a warning instead of crashing the whole dataset run — same guard
+        # as load_mouse_pairs on the pair path
+        rows = [(str(i), s) for i, s in enumerate(df[col])
+                if isinstance(s, str) and s.strip()]
+        if len(rows) < len(df):
+            logger.warning('skipped %d rows with missing/non-string %s',
+                           len(df) - len(rows), col)
 
     if len(rows) > 1:
         _packed_nano_loop(hum, rows, finetune, args, logger, save_fpath)
@@ -767,10 +813,7 @@ def _packed_nano_loop(hum: NanoHumanizer, rows, finetune: bool, args,
             if res is None:
                 continue
             cands = [res['best']] if args.similarity_search else res['seqs']
-            for cand in cands:
-                if cand not in seen[i] and len(unique[i]) < target:
-                    seen[i].add(cand)
-                    unique[i].append(cand)
+            _dedup_into(seen[i], unique[i], cands, target)
     with open(save_fpath, 'a', encoding='UTF-8') as f:
         for i, (name, seq) in enumerate(rows):
             f.write(f'camel,{name},{seq}\n')

@@ -38,8 +38,13 @@ def make_scan_sampler(apply_fn: Callable[..., jnp.ndarray], top: int = SAMPLE_TO
     Args:
       apply_fn: closed-over model forward taking ``(tokens, *cond)`` and
         returning ``[B, L, V]`` logits (params already bound).
-      top: sample from ``logits[..., :top]`` (22 = all but <msk>; 20 = strict
-        amino acids, as the fine-tuned infilling restricts).
+      top: sample from ``logits[..., :top]``. The default 22 (all but <msk>)
+        is what ALL four reference sampling scripts use regardless of
+        checkpoint version (``[:len(all_token)-1]``, sample.py:510,
+        sample_for_anti_cdr.py:192, nanosample.py:326,
+        sample_for_nano_cdr.py:177); 20 is an optional stricter setting
+        matching the fine-tune loss restriction (models/finetune.py slices
+        logits[..., :N_AA]) that the reference itself never samples with.
       positions_per_step: resample this many positions per forward. 1 (the
         default) matches the reference's strictly-one-position-at-a-time
         reverse process (sample.py:499-513). k>1 is the standard OA-ARDM
@@ -178,24 +183,14 @@ def build_order(mask_positions, batch: int, rng: Optional[jax.Array] = None,
     Each candidate gets an independent shuffle (the reference shuffles once and
     shares it across the batch, sample.py:497-498; independent orders increase
     candidate diversity at no cost inside the single device program).
+
+    Delegates to ``build_order_rows`` with the same position set for every
+    row, so the RNG-seeding logic lives in exactly one place.
     """
     import numpy as np
     pos = np.asarray(mask_positions, dtype=np.int32)
-    K = len(pos) if pad_to is None else pad_to
-    out = np.full((batch, K), -1, dtype=np.int32)
-    if shuffle:
-        # seed numpy from the FULL key data via SeedSequence (a key_data.sum()
-        # reduction collides across folds and silently degrades order
-        # diversity between retry rounds)
-        entropy = (np.asarray(jax.random.key_data(rng)).ravel().tolist()
-                   if rng is not None else [0])
-        rs = np.random.Generator(np.random.PCG64(
-            np.random.SeedSequence([int(e) for e in entropy])))
-        for b in range(batch):
-            out[b, : len(pos)] = rs.permutation(pos)
-    else:
-        out[:, : len(pos)] = pos[None, :]
-    return jnp.asarray(out)
+    return build_order_rows([pos] * batch, rng=rng, shuffle=shuffle,
+                            pad_to=len(pos) if pad_to is None else pad_to)
 
 
 def build_order_rows(position_sets, rng: Optional[jax.Array] = None,
@@ -226,27 +221,32 @@ def build_order_rows(position_sets, rng: Optional[jax.Array] = None,
 def sequential_reference_sampler(model, params, top: int = SAMPLE_TOP,
                                  has_chain_type: bool = True):
     """Reference-style sampler: one host-dispatched jitted forward per
-    position (the reference's cost structure, for benchmarking speedups)."""
-    if has_chain_type:
-        fwd = jax.jit(lambda t, r, c: model.apply(params, t, r, c))
-    else:
-        fwd = jax.jit(lambda t, r: model.apply(params, t, r))
+    position (the reference's cost structure, for benchmarking speedups).
 
-    def run(tokens, region, chain, order, rng):
+    Calling convention mirrors ``make_jit_sampler``: the returned ``run`` is
+    ``(tokens, region, chain, order, rng)`` for pair models and
+    ``(tokens, region, order, rng)`` for nanobody models — no dummy chain
+    argument in the nano case."""
+    fwd = jax.jit(lambda t, *cond: model.apply(params, t, *cond))
+
+    def _run(tokens, cond, order, rng):
         import numpy as np
         tokens = np.asarray(tokens).copy()
         order0 = np.asarray(order)[0]
-        for i, pos in enumerate(order0):
+        for pos in order0:
             if pos < 0:
                 continue
-            if has_chain_type:
-                logits = fwd(jnp.asarray(tokens), region, chain)
-            else:
-                logits = fwd(jnp.asarray(tokens), region)
+            logits = fwd(jnp.asarray(tokens), *cond)
             rng, sub = jax.random.split(rng)
             sel = logits[:, pos, :top].astype(jnp.float32)
             samp = jax.random.categorical(sub, sel)
             tokens[:, pos] = np.asarray(samp)
         return jnp.asarray(tokens)
 
+    if has_chain_type:
+        def run(tokens, region, chain, order, rng):
+            return _run(tokens, (region, chain), order, rng)
+    else:
+        def run(tokens, region, order, rng):
+            return _run(tokens, (region,), order, rng)
     return run

@@ -214,9 +214,10 @@ class HumanizationService:
         def round_fn():
             grids = self.nano_coal.submit(inp, pool)
             seqs = [H._TOK.idx2seq(g) for g in grids]
-            # validity filter (reference nanosample.py:338-353)
-            valid = [k for k, sq in enumerate(seqs)
-                     if AL.align_to_aho(sq, 'H') is not None]
+            # validity filter (reference nanosample.py:338-353); one batched
+            # alignment crossing for the whole candidate pool
+            aligned = AL.align_to_aho_batch(seqs, 'H')
+            valid = [k for k, a in enumerate(aligned) if a is not None]
             if not valid:
                 return None
             if sample_number > 1:

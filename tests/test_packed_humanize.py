@@ -148,13 +148,25 @@ def test_collect_unique_semantics():
     assert unique == ['a', 'b'] or len(unique) == 2  # only 2 distinct exist
     assert len(calls) == 4  # kept retrying to the cap
 
+    fail_calls = []
+
     def fn_fail():
+        fail_calls.append(1)
         return None
 
     unique, failed = collect_unique(fn_fail, target=1, max_retry=5)
     assert failed and unique == []
+    assert len(fail_calls) == 5  # every retry round spent, none aborted early
 
-    seq = iter([['x'], None])
+    # a None round is stochastic (nano validity filter), NOT terminal: the
+    # loop must keep retrying and can still reach the target afterwards —
+    # same semantics as the packed loops' continue-on-None
+    seq = iter([None, ['x'], None, ['y'], ['z']])
+    unique, failed = collect_unique(lambda: next(seq), target=2, max_retry=5)
+    assert unique == ['x', 'y']
+    assert failed  # at least one round failed (callers gate on `and not unique`)
+
+    seq = iter([['x'], None, None, None, None])
     unique, failed = collect_unique(lambda: next(seq), target=2, max_retry=5)
     assert failed and unique == ['x']  # partial results preserved
 
@@ -221,3 +233,37 @@ def test_positions_per_step_cdr_invariance():
         np.testing.assert_array_equal(
             grids[:, prot],
             np.broadcast_to(inp['clean'][prot], (2, int(prot.sum()))))
+
+
+def test_nano_input_rejects_light_chain():
+    """A kappa light chain aligns well (score >> MIN_CHAIN_SCORE) but must be
+    rejected as nanobody input — the chain_hint='VHH' grid placement bypasses
+    grid_string's heavy gate, so nano_input itself must type-check."""
+    assert H.nano_input(L1) is None
+    assert H.nano_input(VHH1) is not None
+
+
+def test_nano_input_non_string():
+    """NaN cells from a pandas CSV (float) must be rejected, not crash."""
+    assert H.nano_input(float('nan')) is None
+    assert H.nano_input('') is None
+
+
+def test_is_heavy_type():
+    assert H._is_heavy_type(VHH1)
+    assert H._is_heavy_type(H1)
+    assert not H._is_heavy_type(L1)
+    assert not H._is_heavy_type(float('nan'))
+    assert not H._is_heavy_type('QQQQ')  # fragment below the score floor
+
+
+def test_build_order_delegates_to_rows():
+    """build_order(pos, B) must equal build_order_rows([pos]*B) bit-for-bit
+    (one RNG-seeding implementation, finding: duplicated entropy logic)."""
+    pos = np.arange(5, 25, dtype=np.int32)
+    rng = jax.random.PRNGKey(11)
+    a = np.asarray(S.build_order(pos, 3, rng=rng, pad_to=24))
+    b = np.asarray(S.build_order_rows([pos] * 3, rng=rng, pad_to=24))
+    assert (a == b).all()
+    c = np.asarray(S.build_order(pos, 2, shuffle=False))
+    assert (c == pos[None, :]).all()
