@@ -88,6 +88,16 @@ def bench_pretrain_step(B: int = 128):
 
     state, m = compiled(state, tokens, chain, rng)  # warm
     jax.block_until_ready(m['loss'])
+    # when run as the concurrent bench subprocess: compile + warm overlap
+    # the parent's sampling compile, but the TIMED steps wait until the
+    # parent has finished ITS timed sections (gate file), so the two
+    # throughput measurements never share the chip. Bounded poll: a dead
+    # parent must not hang the child.
+    gate = os.environ.get('HUDIFF_BENCH_GATE')
+    if gate:
+        deadline = time.time() + 600
+        while not os.path.exists(gate) and time.time() < deadline:
+            time.sleep(0.5)
     n_rep = 5
     # distinct rng per step: donated state buffers keep the same device
     # handles across calls, which the tunnel's run cache can key on —
@@ -117,6 +127,31 @@ def main():
     from hudiff_tpu import constants as C
     from hudiff_tpu.models.denoiser import AntiTFNet, DenoiserConfig
     from hudiff_tpu.sampling import sampler as S
+
+    # training-side workload (round-2 VERDICT weak #4: pretrain throughput +
+    # MFU belong in the driver-captured bench, not in docs prose). The train
+    # step's compile is minutes on the tunnel and its pace varies, so it
+    # runs in a CONCURRENT subprocess (two processes share the tunnel chip):
+    # its compile overlaps the sampling section's, and a hard timeout on the
+    # remaining wait means a hung compile degrades the detail field instead
+    # of eating the headline sampling metric. HUDIFF_BENCH_TRAIN_B=0 skips
+    # it; HUDIFF_BENCH_TRAIN_TIMEOUT bounds the total wait (default 480 s).
+    train_b = int(os.environ.get('HUDIFF_BENCH_TRAIN_B', 128))
+    train_proc = None
+    gate_path = None
+    if train_b:
+        import subprocess
+        import sys
+        import tempfile
+        gate_path = os.path.join(tempfile.mkdtemp(prefix='hudiff_bench_'),
+                                 'gate')
+        env = dict(os.environ, HUDIFF_BENCH_GATE=gate_path)
+        train_proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             '--pretrain-json', str(train_b)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            env=env)
+    bench_t0 = time.perf_counter()
 
     cfg = DenoiserConfig()  # full-size flagship
     model = AntiTFNet(cfg, dtype=jnp.bfloat16)
@@ -167,14 +202,24 @@ def main():
     baseline_dt = time.perf_counter() - t0
     baseline_throughput = 1.0 / baseline_dt
 
-    # training-side workload (round-2 VERDICT weak #4: pretrain throughput +
-    # MFU belong in the driver-captured bench, not in docs prose). The train
-    # step's compile is minutes on the tunnel; never let it cost the
-    # headline sampling metric. HUDIFF_BENCH_TRAIN_B=0 skips it.
-    train_b = int(os.environ.get('HUDIFF_BENCH_TRAIN_B', 128))
-    if train_b:
+    # all timed sections done — release the pretrain subprocess's timed loop
+    if gate_path is not None:
+        with open(gate_path, 'w', encoding='UTF-8') as f:
+            f.write('go\n')
+
+    # collect the concurrent pretrain-step subprocess (launched before the
+    # sampling section; see the comment there)
+    if train_proc is not None:
+        import subprocess
+        budget = int(os.environ.get('HUDIFF_BENCH_TRAIN_TIMEOUT', 480))
+        remaining = max(10.0, budget - (time.perf_counter() - bench_t0))
         try:
-            pretrain = bench_pretrain_step(B=train_b)
+            out_text, _ = train_proc.communicate(timeout=remaining)
+            pretrain = json.loads(out_text.strip().splitlines()[-1])
+        except subprocess.TimeoutExpired:
+            train_proc.kill()
+            train_proc.communicate()
+            pretrain = {'error': f'timeout after {budget}s total'}
         except Exception as e:  # noqa: BLE001 - report, don't fail the bench
             pretrain = {'error': str(e)[:200]}
     else:
@@ -193,4 +238,11 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    import sys
+    if len(sys.argv) > 2 and sys.argv[1] == '--pretrain-json':
+        try:
+            print(json.dumps(bench_pretrain_step(B=int(sys.argv[2]))))
+        except Exception as e:  # noqa: BLE001 - report, don't crash the parent
+            print(json.dumps({'error': str(e)[:200]}))
+    else:
+        main()

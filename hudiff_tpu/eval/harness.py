@@ -31,6 +31,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 from typing import Dict, List, Optional, Tuple
@@ -387,7 +388,10 @@ def abnativ_scores_local(seqs: List[str], model_type: str, ckpt: str,
         from ..training import checkpoints as CKPT
         conv = AB.convert_torch_abnativ(CKPT.load_torch_checkpoint(ckpt))
         model = AB.AbNatiVModel(conv['hp'])
-        apply = jax.jit(lambda x: model.apply(conv['variables'], x))
+        # variables as a jit argument, not a closure capture — closed-over
+        # arrays embed as HLO constants and bloat compile time
+        _apply = jax.jit(lambda v, x: model.apply(v, x))
+        apply = functools.partial(_apply, conv['variables'])
         _ABNATIV_CACHE[ckpt] = (model, conv, apply)
     _, _, apply = _ABNATIV_CACHE[ckpt]
 

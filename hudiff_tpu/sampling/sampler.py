@@ -149,29 +149,35 @@ def make_jit_sampler(model, params, top: int = SAMPLE_TOP,
         bsh = M.batch_sharding(mesh)
         rep = M.replicated(mesh)
         n_in = 4 if has_chain_type else 3
-        jit_kwargs = dict(in_shardings=tuple([bsh] * n_in + [rep]),
+        jit_kwargs = dict(in_shardings=tuple([rep] + [bsh] * n_in + [rep]),
                           out_shardings=bsh)
 
+    # Params are a jit ARGUMENT, not a closure capture: closed-over arrays
+    # become embedded HLO constants, which bloats the flagship sampler
+    # executable to ~330MB of baked-in weights and turns its compile (and
+    # persistent-cache load) into minutes. As an argument the weights stay
+    # one device buffer shared by every executable; they ride through the
+    # scan sampler as the first ``*cond`` entry.
+    def apply_fn(tokens, p, *cond):
+        return model.apply(p, tokens, *cond)
+
+    sampler = make_scan_sampler(apply_fn, top=top,
+                                positions_per_step=positions_per_step)
+
     if has_chain_type:
-        def apply_fn(tokens, region, chain):
-            return model.apply(params, tokens, region, chain)
-
-        sampler = make_scan_sampler(apply_fn, top=top,
-                                    positions_per_step=positions_per_step)
-
         @functools.partial(jax.jit, **jit_kwargs)
+        def _run(p, tokens, region, chain, order, rng):
+            return sampler(tokens, order, rng, p, region, chain)
+
         def run(tokens, region, chain, order, rng):
-            return sampler(tokens, order, rng, region, chain)
+            return _run(params, tokens, region, chain, order, rng)
     else:
-        def apply_fn(tokens, region):
-            return model.apply(params, tokens, region)
-
-        sampler = make_scan_sampler(apply_fn, top=top,
-                                    positions_per_step=positions_per_step)
-
         @functools.partial(jax.jit, **jit_kwargs)
+        def _run(p, tokens, region, order, rng):
+            return sampler(tokens, order, rng, p, region)
+
         def run(tokens, region, order, rng):
-            return sampler(tokens, order, rng, region)
+            return _run(params, tokens, region, order, rng)
 
     return run
 
@@ -227,7 +233,12 @@ def sequential_reference_sampler(model, params, top: int = SAMPLE_TOP,
     ``(tokens, region, chain, order, rng)`` for pair models and
     ``(tokens, region, order, rng)`` for nanobody models — no dummy chain
     argument in the nano case."""
-    fwd = jax.jit(lambda t, *cond: model.apply(params, t, *cond))
+    # params as a jit argument (not an embedded constant) for the same
+    # compile-time/executable-size reason as make_jit_sampler
+    _fwd = jax.jit(lambda p, t, *cond: model.apply(p, t, *cond))
+
+    def fwd(t, *cond):
+        return _fwd(params, t, *cond)
 
     def _run(tokens, cond, order, rng):
         import numpy as np
