@@ -41,6 +41,16 @@ _BF16_PEAK_TFLOPS = {
 }
 
 
+_T0 = time.perf_counter()
+
+
+def _log(msg: str) -> None:
+    """Elapsed-stamped progress on stderr (stdout carries only the JSON)."""
+    import sys
+    print(f'[bench +{time.perf_counter() - _T0:7.1f}s] {msg}',
+          file=sys.stderr, flush=True)
+
+
 def _chip_peak_tflops() -> float:
     kind = jax.devices()[0].device_kind
     for key, peak in _BF16_PEAK_TFLOPS.items():
@@ -66,7 +76,9 @@ def bench_pretrain_step(B: int = 128):
     tokens = jnp.asarray(rs.randint(0, C.N_AA, (B, C.PAIR_LEN)), jnp.int32)
     chain = jnp.asarray(np.tile([[0, 2]], (B, 1)))
     region = jnp.asarray(T.pair_region_batch(1))
-    params = model.init(jax.random.PRNGKey(0), tokens[:1], region, chain[:1])
+    from hudiff_tpu.utils.fast_init import fast_init
+    params = fast_init(model, jax.random.PRNGKey(0), tokens[:1], region,
+                       chain[:1])
     tx = schedules.make_optimizer(
         Namespace({'type': 'Adam', 'lr': 1e-4}), clip_norm=10.0)
     state = T.TrainState.create(params, tx)
@@ -74,9 +86,11 @@ def bench_pretrain_step(B: int = 128):
     step = T.make_pair_train_step(model, loss_type='merge', donate=True)
 
     rng = jax.random.PRNGKey(1)
+    _log('pretrain: init done, lowering')
     # ONE compile: the same executable provides the FLOP count (XLA cost
     # analysis) and runs the timed steps.
     compiled = step.lower(state, tokens, chain, rng).compile()
+    _log('pretrain: compile done')
     flops = None
     try:
         cost = compiled.cost_analysis()
@@ -95,9 +109,11 @@ def bench_pretrain_step(B: int = 128):
     # parent must not hang the child.
     gate = os.environ.get('HUDIFF_BENCH_GATE')
     if gate:
+        _log('pretrain: warm done, waiting on gate')
         deadline = time.time() + 600
         while not os.path.exists(gate) and time.time() < deadline:
             time.sleep(0.5)
+    _log('pretrain: timed loop start')
     n_rep = 5
     # distinct rng per step: donated state buffers keep the same device
     # handles across calls, which the tunnel's run cache can key on —
@@ -135,7 +151,7 @@ def main():
     # its compile overlaps the sampling section's, and a hard timeout on the
     # remaining wait means a hung compile degrades the detail field instead
     # of eating the headline sampling metric. HUDIFF_BENCH_TRAIN_B=0 skips
-    # it; HUDIFF_BENCH_TRAIN_TIMEOUT bounds the total wait (default 480 s).
+    # it; HUDIFF_BENCH_TRAIN_TIMEOUT bounds the total wait (default 540 s).
     train_b = int(os.environ.get('HUDIFF_BENCH_TRAIN_B', 128))
     train_proc = None
     gate_path = None
@@ -146,11 +162,12 @@ def main():
         gate_path = os.path.join(tempfile.mkdtemp(prefix='hudiff_bench_'),
                                  'gate')
         env = dict(os.environ, HUDIFF_BENCH_GATE=gate_path)
+        # child progress lines land in the parent's stderr stream (stdout
+        # stays clean: it carries only the child's JSON)
         train_proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
              '--pretrain-json', str(train_b)],
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
-            env=env)
+            stdout=subprocess.PIPE, stderr=None, text=True, env=env)
     bench_t0 = time.perf_counter()
 
     cfg = DenoiserConfig()  # full-size flagship
@@ -177,12 +194,18 @@ def main():
     tokens[:, fr_positions] = C.IDX_MSK
     tokens = jnp.asarray(tokens)
 
-    params = model.init(jax.random.PRNGKey(0), tokens[:1], region[:1], chain[:1])
+    from hudiff_tpu.utils.fast_init import fast_init
+    _log('sampling: init start')
+    params = fast_init(model, jax.random.PRNGKey(0), tokens[:1], region[:1],
+                       chain[:1])
+    jax.block_until_ready(params)
+    _log('sampling: init done')
     order = S.build_order(fr_positions, B, rng=jax.random.PRNGKey(1))
 
     run = S.make_jit_sampler(model, params)
     # compile
     jax.block_until_ready(run(tokens, region, chain, order, jax.random.PRNGKey(2)))
+    _log('sampling: scan compile+warm done')
     # timed runs
     n_rep = 3
     t0 = time.perf_counter()
@@ -191,6 +214,7 @@ def main():
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n_rep
     throughput = B / dt
+    _log('sampling: timed runs done')
 
     # reference-style baseline: sequential host loop, batch 1
     seq_run = S.sequential_reference_sampler(model, params)
@@ -201,6 +225,7 @@ def main():
     seq_run(t1, region[:1], chain[:1], seq_order, jax.random.PRNGKey(5))
     baseline_dt = time.perf_counter() - t0
     baseline_throughput = 1.0 / baseline_dt
+    _log('baseline: done')
 
     # all timed sections done — release the pretrain subprocess's timed loop
     if gate_path is not None:
@@ -211,7 +236,7 @@ def main():
     # sampling section; see the comment there)
     if train_proc is not None:
         import subprocess
-        budget = int(os.environ.get('HUDIFF_BENCH_TRAIN_TIMEOUT', 480))
+        budget = int(os.environ.get('HUDIFF_BENCH_TRAIN_TIMEOUT', 540))
         remaining = max(10.0, budget - (time.perf_counter() - bench_t0))
         try:
             out_text, _ = train_proc.communicate(timeout=remaining)

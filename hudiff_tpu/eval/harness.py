@@ -499,6 +499,10 @@ def eval_nano(sample_csv: str, abnativ_vh: Optional[str] = None,
 
 
 def main(argv=None):
+    # persistent XLA compile cache: repeat CLI runs skip the multi-minute
+    # compiles on remote/tunneled backends (utils/compile_cache.py)
+    from hudiff_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest='cmd', required=True)
     a = sub.add_parser('ab')

@@ -826,6 +826,10 @@ def _packed_nano_loop(hum: NanoHumanizer, rows, finetune: bool, args,
 
 
 def main(argv=None):
+    # persistent XLA compile cache: repeat CLI runs skip the multi-minute
+    # compiles on remote/tunneled backends (utils/compile_cache.py)
+    from hudiff_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest='cmd', required=True)
     for name in ('ab', 'nano'):

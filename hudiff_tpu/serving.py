@@ -363,6 +363,10 @@ def serve(service: HumanizationService, host: str = '127.0.0.1',
 
 
 def main(argv=None):
+    # persistent XLA compile cache: repeat CLI runs skip the multi-minute
+    # compiles on remote/tunneled backends (utils/compile_cache.py)
+    from hudiff_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument('--ab-ckpt', default=None)
     p.add_argument('--nano-ckpt', default=None)

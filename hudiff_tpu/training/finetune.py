@@ -61,7 +61,8 @@ def load_abnativ(path: Optional[str], straight_through: bool,
                                 num_embeddings=16, embedding_dim_code_book=8)
     model = AB.AbNatiVModel(hp, straight_through=straight_through)
     dummy = jnp.zeros((1, C.AHO_LEN, C.ABNATIV_ALPHABET_SIZE))
-    return model, model.init(rng, dummy)
+    from ..utils.fast_init import fast_init
+    return model, fast_init(model, rng, dummy)
 
 
 # ---------------------------------------------------------------------------
@@ -511,6 +512,10 @@ def run_ab(cfg: Namespace, args) -> str:
 
 
 def main(argv=None):
+    # persistent XLA compile cache: repeat CLI runs skip the multi-minute
+    # compiles on remote/tunneled backends (utils/compile_cache.py)
+    from hudiff_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest='cmd', required=True)
     for name in ('ab', 'nano'):

@@ -119,11 +119,14 @@ def run(cfg: Namespace, kind: str, data_path: Optional[str], logdir: str,
     init_tokens = jnp.zeros((1, L), jnp.int32)
     init_region = jnp.asarray((T.pair_region_batch(1) if kind == 'pair'
                                else T.heavy_region_batch(1)))
+    # one jitted init program (eager init pays a per-op round trip on
+    # remote/tunneled backends — 275 s vs 9 s warm; utils/fast_init.py)
+    from ..utils.fast_init import fast_init
     if kind == 'pair':
-        params = model.init(rng, init_tokens, init_region,
-                            jnp.zeros((1, 2), jnp.int32))
+        params = fast_init(model, rng, init_tokens, init_region,
+                           jnp.zeros((1, 2), jnp.int32))
     else:
-        params = model.init(rng, init_tokens, init_region)
+        params = fast_init(model, rng, init_tokens, init_region)
     params = jax.device_put(params, M.replicated(mesh))
     logger.info('parameters: %d', count_parameters(params))
 
@@ -240,6 +243,10 @@ def run(cfg: Namespace, kind: str, data_path: Optional[str], logdir: str,
 
 
 def main(argv=None):
+    # persistent XLA compile cache: repeat CLI runs skip the multi-minute
+    # compiles on remote/tunneled backends (utils/compile_cache.py)
+    from hudiff_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument('--config', required=True)
     p.add_argument('--kind', choices=['pair', 'heavy'], default=None,

@@ -27,8 +27,15 @@ class TrainState(struct.PyTreeNode):
 
     @classmethod
     def create(cls, params, tx):
+        # jitted optimizer init off-CPU: eager tx.init dispatches a few ops
+        # PER PARAMETER LEAF, each a round trip on tunneled backends
+        # (utils/fast_init.py has the measurements for model init)
+        if jax.default_backend() == 'cpu':
+            opt_state = tx.init(params)
+        else:
+            opt_state = jax.jit(tx.init)(params)
         return cls(step=jnp.zeros((), jnp.int32), params=params,
-                   opt_state=tx.init(params), tx=tx)
+                   opt_state=opt_state, tx=tx)
 
     def apply_gradients(self, grads):
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
