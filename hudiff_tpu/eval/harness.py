@@ -389,9 +389,12 @@ def abnativ_scores_local(seqs: List[str], model_type: str, ckpt: str,
         conv = AB.convert_torch_abnativ(CKPT.load_torch_checkpoint(ckpt))
         model = AB.AbNatiVModel(conv['hp'])
         # variables as a jit argument, not a closure capture — closed-over
-        # arrays embed as HLO constants and bloat compile time
+        # arrays embed as HLO constants and bloat compile time; committed
+        # to the device once (the converter returns a host numpy tree,
+        # which as a jit argument would re-upload per batch)
+        variables = jax.device_put(conv['variables'])
         _apply = jax.jit(lambda v, x: model.apply(v, x))
-        apply = functools.partial(_apply, conv['variables'])
+        apply = functools.partial(_apply, variables)
         _ABNATIV_CACHE[ckpt] = (model, conv, apply)
     _, _, apply = _ABNATIV_CACHE[ckpt]
 

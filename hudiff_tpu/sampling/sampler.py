@@ -36,8 +36,11 @@ def make_scan_sampler(apply_fn: Callable[..., jnp.ndarray], top: int = SAMPLE_TO
     """Build a jittable sampler around ``apply_fn(tokens, ...) -> logits``.
 
     Args:
-      apply_fn: closed-over model forward taking ``(tokens, *cond)`` and
-        returning ``[B, L, V]`` logits (params already bound).
+      apply_fn: model forward taking ``(tokens, *cond)`` and returning
+        ``[B, L, V]`` logits. Do NOT close over parameter arrays — inside
+        jit they embed as HLO constants (~330 MB executables, multi-minute
+        compiles; docs/perf.md). Thread params through ``*cond`` instead,
+        as make_jit_sampler does with its first cond entry.
       top: sample from ``logits[..., :top]``. The default 22 (all but <msk>)
         is what ALL four reference sampling scripts use regardless of
         checkpoint version (``[:len(all_token)-1]``, sample.py:510,
@@ -151,6 +154,11 @@ def make_jit_sampler(model, params, top: int = SAMPLE_TOP,
         n_in = 4 if has_chain_type else 3
         jit_kwargs = dict(in_shardings=tuple([rep] + [bsh] * n_in + [rep]),
                           out_shardings=bsh)
+    else:
+        # checkpoint loaders hand back HOST (numpy) trees; committed device
+        # buffers make every run() call reuse them, where numpy jit
+        # arguments would re-upload the full weight tree per call
+        params = jax.device_put(params)
 
     # Params are a jit ARGUMENT, not a closure capture: closed-over arrays
     # become embedded HLO constants, which bloats the flagship sampler
@@ -234,7 +242,9 @@ def sequential_reference_sampler(model, params, top: int = SAMPLE_TOP,
     ``(tokens, region, order, rng)`` for nanobody models — no dummy chain
     argument in the nano case."""
     # params as a jit argument (not an embedded constant) for the same
-    # compile-time/executable-size reason as make_jit_sampler
+    # compile-time/executable-size reason as make_jit_sampler; committed to
+    # the device once so numpy checkpoint trees don't re-upload per forward
+    params = jax.device_put(params)
     _fwd = jax.jit(lambda p, t, *cond: model.apply(p, t, *cond))
 
     def fwd(t, *cond):
