@@ -103,7 +103,11 @@ def bench_pretrain_step(B: int = 128):
     # when run as the concurrent bench subprocess: the compile overlaps the
     # parent's sampling compile, but the WARM step and the TIMED steps wait
     # until the parent has finished ITS timed sections (gate file), so the
-    # two throughput measurements never share the chip. Bounded poll (a
+    # two throughput measurements never share the chip. (The child's
+    # pre-compile device work — init + optimizer init, a few seconds at
+    # process start — is not gated; it lands minutes before the parent's
+    # timed window on every measured profile, and both sides' stderr phase
+    # stamps make any pathological overlap diagnosable.) Bounded poll (a
     # dead parent must not hang the child) slightly longer than the
     # parent's kill budget, so in practice the parent kills a too-slow
     # child before this fallback fires; if it does fire, the result is

@@ -215,12 +215,27 @@ def build_pair_dataset_from_csv(csv_path: str, out_dir: str,
             seen.add((h_seq, l_seq))
             try:
                 # one alignment pass yields typing + margin; grid_string
-                # carries the AHo alignment, so nothing aligns twice
+                # carries the AHo alignment, so nothing aligns twice.
+                # BOTH chains must clear the fragment floor AND type as
+                # their column's group — chain_hint below bypasses
+                # grid_string's own typing gate, so a fragment or a
+                # swapped-column row would otherwise NW-align junk straight
+                # into the training store (same gates as pair_input)
+                h_group, _, h_score = AL.detect_chain_type(h_seq)
                 l_scores = AL.profile_scores(l_seq)
+                _, _, l_score = AL.detect_chain_type(l_seq, l_scores)
                 l_group, l_margin = AL.classify_light(l_seq, l_scores)
-            except ValueError:
-                log.warning('row %d: light chain unalignable; skipped', i)
+            except (ValueError, TypeError):
+                log.warning('row %d: chain unalignable; skipped', i)
                 continue
+            if (h_score < AL.MIN_CHAIN_SCORE or l_score < AL.MIN_CHAIN_SCORE
+                    or h_group != 'H'):
+                log.warning(
+                    'row %d: failed chain typing (h: %s %.0f, l: %.0f); '
+                    'skipped', i, h_group, h_score, l_score)
+                continue
+            # same threshold as warn_ambiguous_light, rendered through the
+            # data loader's logger instead of the warnings module
             if l_margin < AL.LIGHT_MARGIN_AMBIGUOUS:
                 log.warning('row %d: ambiguous light-chain type (K-L margin '
                             '%.1f); recording as %s', i, l_margin, l_group)

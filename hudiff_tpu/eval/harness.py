@@ -247,12 +247,8 @@ def eval_ab(sample_csv: str, pair_csv: str, out_path: Optional[str] = None,
                 group, margin = AL.classify_light(s_l)
             except ValueError:
                 continue
-            if margin < AL.LIGHT_MARGIN_AMBIGUOUS:
-                import warnings
-                warnings.warn(
-                    f'ambiguous light-chain type for AbNatiV scoring '
-                    f'(K-L margin {margin:.1f}); using {group}',
-                    stacklevel=2)
+            AL.warn_ambiguous_light(group, margin,
+                                    context='selects the AbNatiV scorer')
             ckpt = abnativ_vlk if group == 'K' else abnativ_vll
             mtype = 'VKappa' if group == 'K' else 'VLambda'
             if not ckpt:

@@ -80,12 +80,8 @@ def _chain_type(seq: str) -> str:
     if group == 'H':
         return 'H'
     lgroup, margin = AL.classify_light(seq, scores)
-    if margin < AL.LIGHT_MARGIN_AMBIGUOUS:
-        import warnings
-        warnings.warn(
-            f'ambiguous light-chain type (K-L margin {margin:.1f}); web '
-            f'scores will be fetched against the {lgroup} database',
-            stacklevel=2)
+    AL.warn_ambiguous_light(lgroup, margin,
+                            context='selects the web-score database')
     return lgroup
 
 

@@ -272,3 +272,20 @@ def classify_light(seq: str, scores: Optional[Dict[str, float]] = None
     margin = abs(k - l) if (k > float('-inf') and l > float('-inf')) \
         else float('inf')
     return group, margin
+
+
+def warn_ambiguous_light(group: str, margin: float, context: str = '',
+                         stacklevel: int = 3) -> bool:
+    """THE one rendering of the low-margin light-chain warning (threshold
+    + message), shared by every classify_light caller. Returns True when
+    the warning fired, so callers that log instead of warn (data loaders)
+    can branch on it."""
+    if margin >= LIGHT_MARGIN_AMBIGUOUS:
+        return False
+    import warnings
+    suffix = f' [{context}]' if context else ''
+    warnings.warn(
+        f'ambiguous light-chain type (K-L margin {margin:.1f} < '
+        f'{LIGHT_MARGIN_AMBIGUOUS}); proceeding as {group}{suffix}',
+        stacklevel=stacklevel)
+    return True

@@ -370,11 +370,8 @@ def graft_seq(seq: str, group: Optional[str] = None,
             # low-margin (borderline lambda) calls instead of trusting the
             # overall-best profile silently (same alignment pass)
             group, margin = AL.classify_light(seq, scores)
-            if margin < AL.LIGHT_MARGIN_AMBIGUOUS:
-                import warnings
-                warnings.warn(
-                    f'ambiguous light-chain type (K-L margin {margin:.1f}); '
-                    f'grafting against the {group} V library', stacklevel=2)
+            AL.warn_ambiguous_light(group, margin,
+                                    context='selects the graft V library')
     heavy = group == 'H'
     placed = IMGT.grid_string(seq, heavy=heavy, chain_hint=group)
     if placed is None:

@@ -61,16 +61,11 @@ def pair_input(h_seq: str, l_seq: str, finetune: bool = False
         # kappa when the overall best profile mis-scores as heavy); reuses
         # the same alignment pass
         l_group, l_margin = AL.classify_light(l_seq, l_scores)
-    except ValueError:
-        return None
+    except (ValueError, TypeError):
+        return None  # unalignable / non-string input (NaN CSV cells etc.)
     if h_score < AL.MIN_CHAIN_SCORE or l_score < AL.MIN_CHAIN_SCORE:
         return None
-    if l_margin < AL.LIGHT_MARGIN_AMBIGUOUS:
-        import warnings
-        warnings.warn(
-            f'ambiguous light-chain type (K-L margin {l_margin:.1f} < '
-            f'{AL.LIGHT_MARGIN_AMBIGUOUS}); proceeding as {l_group}',
-            stacklevel=2)
+    AL.warn_ambiguous_light(l_group, l_margin)
     h = IMGT.grid_string(h_seq, heavy=True, chain_hint='H')
     l = IMGT.grid_string(l_seq, heavy=False, chain_hint=l_group)
     if h is None or l is None:
@@ -321,6 +316,34 @@ def _packed_pad_to(inputs) -> int:
         max((inp['pad_to'] for inp in live), default=1))
 
 
+def _bucket_batch(n: int, cap: int) -> int:
+    """Power-of-two bucketed device batch for a packed stream: a 4-row
+    stream must not pad to a 256-row program (64x wasted compute per
+    round), but per-exact-size shapes would recompile every sweep. Powers
+    of two cap the distinct compiled sizes at log2(cap) per process."""
+    b = 1
+    while b < n:
+        b *= 2
+    return max(1, min(b, cap))
+
+
+def iter_packed_chunks(humanizer, stream, pad_to: int):
+    """Drive a packed ``(key, inp)`` stream through bucketed
+    ``device_batch``-capped programs, yielding ``(chunk, sampled_rows)``
+    per device round.
+
+    THE one definition of the pack-rows-into-chunks semantics shared by
+    PairHumanizer.humanize_many, NanoHumanizer.humanize_many, and the
+    serving coalescer — so padding/chunking changes can never diverge the
+    CLI and serving paths.
+    """
+    B = _bucket_batch(len(stream), humanizer.device_batch)
+    for s in range(0, len(stream), B):
+        chunk = stream[s: s + B]
+        yield chunk, humanizer.sample_rows([inp for _, inp in chunk], pad_to,
+                                           batch=B)
+
+
 def _maybe_mesh(shard: bool):
     """('data', 'model'=1) mesh over all devices when sharding is requested
     and more than one device exists; sharding never changes sampled tokens."""
@@ -365,18 +388,21 @@ class PairHumanizer:
         return {'h_seqs': h_seqs, 'l_seqs': l_seqs, 'grids': out,
                 'best_idx': best, 'best': (h_seqs[best], l_seqs[best])}
 
-    def sample_rows(self, rows: List[Dict], pad_to: int) -> np.ndarray:
+    def sample_rows(self, rows: List[Dict], pad_to: int,
+                    batch: Optional[int] = None) -> np.ndarray:
         """One device call over heterogeneous packed rows.
 
         ``rows`` may mix DIFFERENT antibodies: each row dict carries its own
         tokens/region/chain/positions. The per-row order matrix
         (sampler.build_order_rows) makes the single jitted scan resample the
         right slots for each row. Short final chunks are padded by repeating
-        the last row (the extra outputs are discarded), so every call has the
-        same [B, L] shape and the program compiles once per dataset sweep.
+        the last row (the extra outputs are discarded), so every call has
+        the same [B, L] shape and the program compiles once per dataset
+        sweep. ``batch`` (from _bucket_batch) right-sizes the program for
+        small streams; default is the full device_batch.
         """
         n = len(rows)
-        B = self.device_batch
+        B = batch or self.device_batch
         assert 0 < n <= B
         padded = rows + [rows[-1]] * (B - n)
         tokens = jnp.asarray(np.stack([r['tokens'] for r in padded]))
@@ -408,10 +434,7 @@ class PairHumanizer:
             stream.extend([(i, inp)] * rows_per_input)
         pad_to = pad_to or _packed_pad_to(inputs)
         grids: Dict[int, List[np.ndarray]] = {}
-        B = self.device_batch
-        for s in range(0, len(stream), B):
-            chunk = stream[s: s + B]
-            out = self.sample_rows([inp for _, inp in chunk], pad_to)
+        for chunk, out in iter_packed_chunks(self, stream, pad_to):
             for (i, _), row in zip(chunk, out):
                 grids.setdefault(i, []).append(row)
         results: List[Optional[Dict]] = []
@@ -442,11 +465,12 @@ class NanoHumanizer:
                                       mesh=mesh,
                                       positions_per_step=positions_per_step)
 
-    def sample_rows(self, rows: List[Dict], pad_to: int) -> np.ndarray:
+    def sample_rows(self, rows: List[Dict], pad_to: int,
+                    batch: Optional[int] = None) -> np.ndarray:
         """One device call over heterogeneous packed nanobody rows
         (see PairHumanizer.sample_rows)."""
         n = len(rows)
-        B = self.device_batch
+        B = batch or self.device_batch
         assert 0 < n <= B
         padded = rows + [rows[-1]] * (B - n)
         tokens = jnp.asarray(np.stack([r['tokens'] for r in padded]))
@@ -470,10 +494,7 @@ class NanoHumanizer:
             stream.extend([(i, inp)] * rows_per_input)
         pad_to = pad_to or _packed_pad_to(inputs)
         grids: Dict[int, List[np.ndarray]] = {}
-        B = self.device_batch
-        for st in range(0, len(stream), B):
-            chunk = stream[st: st + B]
-            out = self.sample_rows([inp for _, inp in chunk], pad_to)
+        for chunk, out in iter_packed_chunks(self, stream, pad_to):
             for (i, _), row in zip(chunk, out):
                 grids.setdefault(i, []).append(row)
         results: List[Optional[Dict]] = []

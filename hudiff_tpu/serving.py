@@ -68,7 +68,7 @@ class _Coalescer:
         return np.stack(job['grids'])
 
     def _loop(self) -> None:
-        from .sampling.humanize import _packed_pad_to
+        from .sampling.humanize import _packed_pad_to, iter_packed_chunks
         while True:
             with self._cv:
                 while not self._queue:
@@ -82,18 +82,19 @@ class _Coalescer:
                       for job in jobs for _ in range(job['n'])]
             try:
                 pad_to = _packed_pad_to([job['inp'] for job in jobs])
-                B = self.hum.device_batch
                 with self.lock:
-                    for s in range(0, len(stream), B):
-                        chunk = stream[s: s + B]
-                        out = self.hum.sample_rows(
-                            [inp for _, inp in chunk], pad_to)
+                    for chunk, out in iter_packed_chunks(self.hum, stream,
+                                                         pad_to):
                         self.rounds += 1
                         for (job, _), row in zip(chunk, out):
                             job['grids'].append(row)
-            except Exception as e:  # noqa: BLE001 - report to all waiters
+            except Exception as e:  # noqa: BLE001 - report to waiters
+                # only jobs whose rows were NOT all served fail: a request
+                # fully completed in an earlier chunk must not be poisoned
+                # by another request's failing chunk
                 for job in jobs:
-                    job['error'] = e
+                    if len(job['grids']) < job['n']:
+                        job['error'] = e
             for job in jobs:
                 job['event'].set()
 
@@ -150,27 +151,37 @@ class HumanizationService:
         l = ('DIQMTQSPSSLSASVGDRVTITCRASQSISSYLNWYQQKPGKAPKLLIYAASSLQSGVPS'
              'RFSGSGSGTDFTLTISSLQPEDFATYYCQQSYSTPLTFGGGTKVEIK')
         from .sampling import humanize as H
+        # warm the DEFAULT-POOL batch bucket (what a typical request's
+        # stream sizes to under _bucket_batch), not a 1-row program
         if self.ab_coal is not None:
             inp = H.pair_input(h, l, finetune=self.ab_finetuned)
-            self.ab_coal.submit(inp, 1)
+            self.ab_coal.submit(inp, self.batch_size)
         if self.nano_coal is not None:
             inp = H.nano_input(h, finetune=self.nano_finetuned)
-            self.nano_coal.submit(inp, 1)
+            self.nano_coal.submit(inp, self.batch_size)
+
+    MAX_ROWS = 1024  # per-request bound on device work
 
     def _pool(self, sample_number: int, rows: Optional[int]) -> int:
         """Candidate-pool rows per request: the best-of-pool selection needs
         more than one row even for sample_number=1 (reference
         select_the_most_similarity_seq over the batch, sample.py:352-367).
-        Client-supplied 'rows' is validated: positive integer, capped at
-        1024 rows per request."""
+        Both client-supplied counts are validated: sample_number and 'rows'
+        must be in 1..MAX_ROWS (either one sized the coalescer pool, so an
+        unchecked value would let a single request monopolize the device).
+        Default pool: the service's --batch-size (the configured
+        per-request candidate pool), never less than sample_number."""
+        if not 1 <= int(sample_number) <= self.MAX_ROWS:
+            raise ValueError(
+                f"'sample_number' must be between 1 and {self.MAX_ROWS}")
         if rows is None:
-            return max(sample_number, min(self.batch_size, 16))
+            return min(max(sample_number, self.batch_size), self.MAX_ROWS)
         try:
             rows = int(rows)
         except (TypeError, ValueError):
             raise ValueError("'rows' must be a positive integer") from None
-        if rows < 1 or rows > 1024:
-            raise ValueError("'rows' must be between 1 and 1024")
+        if rows < 1 or rows > self.MAX_ROWS:
+            raise ValueError(f"'rows' must be between 1 and {self.MAX_ROWS}")
         return rows
 
     def humanize_ab(self, h_seq: str, l_seq: str, sample_number: int = 1,
@@ -348,7 +359,10 @@ def make_handler(service: HumanizationService):
                                        {'error': f'unknown path {self.path}'})
             except KeyError as e:
                 return self._reply(400, {'error': f'missing field {e}'})
-            except ValueError as e:
+            except (ValueError, TypeError) as e:
+                # TypeError: non-string sequence fields reaching alignment
+                # (e.g. "h_seq": 123) must be a client 422, not a dropped
+                # connection
                 return self._reply(422, {'error': str(e)})
             self._reply(200, out)
 

@@ -267,3 +267,16 @@ def test_build_order_delegates_to_rows():
     assert (a == b).all()
     c = np.asarray(S.build_order(pos, 2, shuffle=False))
     assert (c == pos[None, :]).all()
+
+
+def test_bucket_batch():
+    """Packed streams right-size the device program: a 4-row stream must not
+    pad to a 256-row program (measured: a 2-antibody CLI run went from
+    >20 min to 30 s on CPU), while large streams still cap at device_batch
+    and sizes stay power-of-two bucketed (bounded recompiles)."""
+    assert H._bucket_batch(1, 256) == 1
+    assert H._bucket_batch(4, 256) == 4
+    assert H._bucket_batch(5, 256) == 8
+    assert H._bucket_batch(300, 256) == 256
+    assert H._bucket_batch(0, 256) == 1
+    assert H._bucket_batch(9, 8) == 8

@@ -159,3 +159,29 @@ def test_build_pair_dataset_type_filter_requires_column(tmp_path):
     with _pytest.raises(ValueError, match="no 'type' column"):
         oas.build_pair_dataset_from_csv(str(csv), str(tmp_path / 'ds'),
                                         type_filter='humanized')
+
+
+def test_build_pair_dataset_rejects_fragments_and_swaps(tmp_path):
+    """chain_hint bypasses grid_string's typing gate, so the builder itself
+    must apply the pair_input gates: fragments below MIN_CHAIN_SCORE and
+    light chains in the h_seq column must be skipped, not NW-aligned into
+    the training store as junk records."""
+    import pandas as pd
+
+    from hudiff_tpu.data import oas
+
+    h = ('QVQLVQSGAEVKKPGASVKVSCKASGYTFTGYYMHWVRQAPGQGLEWMGWINPNSGGTNYA'
+         'QKFQGRVTMTRDTSISTAYMELSRLRSDDTAVYYCARDLRGYFDYWGQGTLVTVSS')
+    l = ('DIQMTQSPSSLSASVGDRVTITCRASQSISSYLNWYQQKPGKAPKLLIYAASSLQSGVPSR'
+         'FSGSGSGTDFTLTISSLQPEDFATYYCQQSYSTPLTFGGGTKVEIK')
+    csv = tmp_path / 'pairs.csv'
+    pd.DataFrame({
+        'name': ['good', 'fragment', 'swapped'],
+        'h_seq': [h, 'QVQLVQSG', l],   # fragment + light-in-heavy-column
+        'l_seq': [l, l, h],
+    }).to_csv(csv, index=False)
+    out = oas.build_pair_dataset_from_csv(str(csv), str(tmp_path / 'ds'),
+                                          split_ratio=0.5)
+    ds = oas.OasPairDataset(out)
+    assert len(ds) == 1  # only the real pair survives
+    assert ds[0]['name'] == 'good'

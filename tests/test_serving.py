@@ -166,3 +166,40 @@ def test_metrics_endpoint(server):
     assert ep['count'] >= 2 and ep['errors'] >= 1
     assert ep['mean_sec'] > 0 and ep['max_sec'] >= ep['mean_sec']
     assert m['device_rounds']['ab'] >= 1
+
+
+def test_sample_number_bounds_422(server):
+    """Client-supplied sample_number is bounded: an absurd value must be a
+    422, not a device-monopolizing (or OOM-ing) coalescer pool."""
+    code, out = _post(server + '/humanize/ab',
+                      {'h_seq': H1, 'l_seq': L1, 'sample_number': 10**8})
+    assert code == 422 and 'sample_number' in out['error']
+    code, out = _post(server + '/humanize/ab',
+                      {'h_seq': H1, 'l_seq': L1, 'sample_number': 0})
+    assert code == 422
+
+
+def test_non_string_sequence_422(server):
+    """Non-string sequence fields (e.g. ints) must produce a clean 422 on
+    every endpoint, not a dropped connection (TypeError escaping the
+    handler)."""
+    code, _ = _post(server + '/humanize/ab', {'h_seq': 123, 'l_seq': None})
+    assert code == 422
+    code, _ = _post(server + '/graft', {'h_seq': 123, 'l_seq': L1})
+    assert code == 422
+
+
+def test_pool_respects_batch_size():
+    """The default candidate pool is the configured --batch-size (help-text
+    contract), not silently capped at 16; both counts are bounded."""
+    svc = SV.HumanizationService.__new__(SV.HumanizationService)
+    svc.batch_size = 64
+    assert svc._pool(1, None) == 64
+    assert svc._pool(100, None) == 100  # never below sample_number
+    assert svc._pool(1, 32) == 32
+    with pytest.raises(ValueError):
+        svc._pool(0, None)
+    with pytest.raises(ValueError):
+        svc._pool(1, 4096)
+    with pytest.raises(ValueError):
+        svc._pool(10**8, None)
