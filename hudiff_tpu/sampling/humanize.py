@@ -336,8 +336,21 @@ def iter_packed_chunks(humanizer, stream, pad_to: int):
     PairHumanizer.humanize_many, NanoHumanizer.humanize_many, and the
     serving coalescer — so padding/chunking changes can never diverge the
     CLI and serving paths.
+
+    Batch policy: the smallest ALREADY-COMPILED bucket that fits, else the
+    stream's own power-of-two bucket. A small first sweep gets a
+    right-sized program (a 2-antibody CLI run must not pad to 256 rows),
+    while the shrinking survivor waves of a retry loop reuse the big first-
+    wave program instead of compiling a new smaller one per wave — on a
+    tunneled backend a fresh compile costs minutes, a padded round seconds.
     """
-    B = _bucket_batch(len(stream), humanizer.device_batch)
+    need = _bucket_batch(len(stream), humanizer.device_batch)
+    used = getattr(humanizer, '_compiled_batches', None)
+    if used is None:
+        used = humanizer._compiled_batches = set()
+    fits = [b for b in used if b >= need]
+    B = min(fits) if fits else need
+    used.add(B)
     for s in range(0, len(stream), B):
         chunk = stream[s: s + B]
         yield chunk, humanizer.sample_rows([inp for _, inp in chunk], pad_to,

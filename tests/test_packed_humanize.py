@@ -280,3 +280,29 @@ def test_bucket_batch():
     assert H._bucket_batch(300, 256) == 256
     assert H._bucket_batch(0, 256) == 1
     assert H._bucket_batch(9, 8) == 8
+
+
+def test_packed_batch_reuse_policy():
+    """Retry waves must reuse the largest already-compiled batch program
+    instead of compiling a smaller one per shrinking survivor set (a fresh
+    compile costs minutes on a tunneled backend; a padded round seconds) —
+    while a small FIRST sweep still gets a right-sized program."""
+    class Spy:
+        device_batch = 256
+
+        def __init__(self):
+            self.batches = []
+
+        def sample_rows(self, rows, pad_to, batch=None):
+            self.batches.append(batch)
+            return np.zeros((len(rows), 4), np.int32)
+
+    spy = Spy()
+    stream = [(i, {'x': 1}) for i in range(40)]
+    list(H.iter_packed_chunks(spy, stream, 8))      # first wave: bucket 64
+    list(H.iter_packed_chunks(spy, stream[:3], 8))  # survivors: reuse 64
+    assert spy.batches[0] == 64
+    assert spy.batches[-1] == 64  # no new smaller compile
+    spy2 = Spy()
+    list(H.iter_packed_chunks(spy2, stream[:3], 8))  # small first sweep
+    assert spy2.batches[0] == 4   # right-sized, not 256
