@@ -229,16 +229,16 @@ def build_pair_dataset_from_csv(csv_path: str, out_dir: str,
                 log.warning('row %d: chain unalignable; skipped', i)
                 continue
             if (h_score < AL.MIN_CHAIN_SCORE or l_score < AL.MIN_CHAIN_SCORE
-                    or h_group != 'H'):
+                    or h_group != 'H' or AL.is_confident_heavy(l_scores)):
                 log.warning(
                     'row %d: failed chain typing (h: %s %.0f, l: %.0f); '
                     'skipped', i, h_group, h_score, l_score)
                 continue
-            # same threshold as warn_ambiguous_light, rendered through the
-            # data loader's logger instead of the warnings module
-            if l_margin < AL.LIGHT_MARGIN_AMBIGUOUS:
-                log.warning('row %d: ambiguous light-chain type (K-L margin '
-                            '%.1f); recording as %s', i, l_margin, l_group)
+            # the one shared threshold+message, rendered through the data
+            # loader's logger instead of the warnings module
+            msg = AL.ambiguous_light_message(l_group, l_margin)
+            if msg is not None:
+                log.warning('row %d: %s', i, msg)
             h = imgt_numbering.grid_string(h_seq, heavy=True, chain_hint='H')
             l = imgt_numbering.grid_string(l_seq, heavy=False,
                                            chain_hint=l_group)

@@ -274,18 +274,41 @@ def classify_light(seq: str, scores: Optional[Dict[str, float]] = None
     return group, margin
 
 
+def ambiguous_light_message(group: str, margin: float,
+                            context: str = '') -> Optional[str]:
+    """THE one threshold + message for a low-margin light-chain call.
+    Returns the message when the margin is below LIGHT_MARGIN_AMBIGUOUS,
+    else None — so warnings-module callers (warn_ambiguous_light) and
+    logger callers (data loaders) render the identical rule."""
+    if margin >= LIGHT_MARGIN_AMBIGUOUS:
+        return None
+    suffix = f' [{context}]' if context else ''
+    return (f'ambiguous light-chain type (K-L margin {margin:.1f} < '
+            f'{LIGHT_MARGIN_AMBIGUOUS}); proceeding as {group}{suffix}')
+
+
 def warn_ambiguous_light(group: str, margin: float, context: str = '',
                          stacklevel: int = 3) -> bool:
-    """THE one rendering of the low-margin light-chain warning (threshold
-    + message), shared by every classify_light caller. Returns True when
-    the warning fired, so callers that log instead of warn (data loaders)
-    can branch on it."""
-    if margin >= LIGHT_MARGIN_AMBIGUOUS:
+    """Emit ambiguous_light_message via the warnings module; True if it
+    fired."""
+    msg = ambiguous_light_message(group, margin, context)
+    if msg is None:
         return False
     import warnings
-    suffix = f' [{context}]' if context else ''
-    warnings.warn(
-        f'ambiguous light-chain type (K-L margin {margin:.1f} < '
-        f'{LIGHT_MARGIN_AMBIGUOUS}); proceeding as {group}{suffix}',
-        stacklevel=stacklevel)
+    warnings.warn(msg, stacklevel=stacklevel)
     return True
+
+
+def is_confident_heavy(scores: Dict[str, float]) -> bool:
+    """True when a sequence is CONFIDENTLY a heavy chain: its H profile
+    score beats the best light profile by more than LIGHT_MARGIN_AMBIGUOUS.
+
+    This is the gate for heavy-chain-in-a-light-column detection (swapped
+    CSV columns, bad pairings): a borderline light chain whose best profile
+    mis-scores as H by a few points must NOT be rejected (round-2 weak #3
+    removed exactly that forced-kappa behavior), but a true heavy chain
+    beats K/L by hundreds."""
+    h = scores.get('H', float('-inf'))
+    best_light = max(scores.get('K', float('-inf')),
+                     scores.get('L', float('-inf')))
+    return h - best_light > LIGHT_MARGIN_AMBIGUOUS

@@ -65,6 +65,10 @@ def pair_input(h_seq: str, l_seq: str, finetune: bool = False
         return None  # unalignable / non-string input (NaN CSV cells etc.)
     if h_score < AL.MIN_CHAIN_SCORE or l_score < AL.MIN_CHAIN_SCORE:
         return None
+    if AL.is_confident_heavy(l_scores):
+        return None  # a heavy chain in the light slot (swapped inputs) —
+        # distinct from a borderline light chain, which proceeds via
+        # classify_light (round-2 weak #3)
     AL.warn_ambiguous_light(l_group, l_margin)
     h = IMGT.grid_string(h_seq, heavy=True, chain_hint='H')
     l = IMGT.grid_string(l_seq, heavy=False, chain_hint=l_group)
@@ -344,17 +348,24 @@ def iter_packed_chunks(humanizer, stream, pad_to: int):
     wave program instead of compiling a new smaller one per wave — on a
     tunneled backend a fresh compile costs minutes, a padded round seconds.
     """
+    if not stream:
+        return
     need = _bucket_batch(len(stream), humanizer.device_batch)
     used = getattr(humanizer, '_compiled_batches', None)
     if used is None:
         used = humanizer._compiled_batches = set()
-    fits = [b for b in used if b >= need]
+    # programs are cached per (batch, pad_to): a big batch compiled at a
+    # DIFFERENT pad_to is not warm for this stream, so only same-pad_to
+    # entries count as reusable
+    fits = [b for b, p in used if p == pad_to and b >= need]
     B = min(fits) if fits else need
-    used.add(B)
     for s in range(0, len(stream), B):
         chunk = stream[s: s + B]
         yield chunk, humanizer.sample_rows([inp for _, inp in chunk], pad_to,
                                            batch=B)
+        # registered only after a SUCCESSFUL round: a failing compile/shape
+        # must not poison the reuse policy toward the failing size
+        used.add((B, pad_to))
 
 
 def _maybe_mesh(shard: bool):

@@ -151,14 +151,16 @@ class HumanizationService:
         l = ('DIQMTQSPSSLSASVGDRVTITCRASQSISSYLNWYQQKPGKAPKLLIYAASSLQSGVPS'
              'RFSGSGSGTDFTLTISSLQPEDFATYYCQQSYSTPLTFGGGTKVEIK')
         from .sampling import humanize as H
-        # warm the DEFAULT-POOL batch bucket (what a typical request's
-        # stream sizes to under _bucket_batch), not a 1-row program
+        # warm the FULL device_batch bucket: it registers in the batch-reuse
+        # policy, so every later drain — single requests and coalesced
+        # bursts alike — reuses this one pre-paid program instead of
+        # compiling a new size under the device lock at serve time
         if self.ab_coal is not None:
             inp = H.pair_input(h, l, finetune=self.ab_finetuned)
-            self.ab_coal.submit(inp, self.batch_size)
+            self.ab_coal.submit(inp, self.ab.device_batch)
         if self.nano_coal is not None:
             inp = H.nano_input(h, finetune=self.nano_finetuned)
-            self.nano_coal.submit(inp, self.batch_size)
+            self.nano_coal.submit(inp, self.nano.device_batch)
 
     MAX_ROWS = 1024  # per-request bound on device work
 
@@ -337,32 +339,39 @@ def make_handler(service: HumanizationService):
                     raise ValueError(
                         f"'{name}' must be an integer") from None
 
+            def as_str(name):
+                # non-string sequence fields ("h_seq": 123) are a client
+                # error caught HERE at the boundary — a blanket TypeError
+                # catch around the service call would miscategorize real
+                # server bugs as 422s and leak their messages
+                v = req[name]
+                if not isinstance(v, str):
+                    raise ValueError(f"'{name}' must be a string")
+                return v
+
             try:
                 if self.path == '/humanize/ab':
                     out = service.humanize_ab(
-                        req['h_seq'], req['l_seq'],
+                        as_str('h_seq'), as_str('l_seq'),
                         sample_number=as_int('sample_number', 1),
                         method=req.get('method', 'FR'),
                         rows=req.get('rows'))
                 elif self.path == '/humanize/nano':
                     out = service.humanize_nano(
-                        req['vhh_seq'],
+                        as_str('vhh_seq'),
                         sample_number=as_int('sample_number', 1),
                         method=req.get('method', 'FR'),
                         rows=req.get('rows'))
                 elif self.path == '/graft':
                     out = service.graft(
-                        req['h_seq'], req['l_seq'],
+                        as_str('h_seq'), as_str('l_seq'),
                         back_mutation=bool(req.get('back_mutation', False)))
                 else:
                     return self._reply(404,
                                        {'error': f'unknown path {self.path}'})
             except KeyError as e:
                 return self._reply(400, {'error': f'missing field {e}'})
-            except (ValueError, TypeError) as e:
-                # TypeError: non-string sequence fields reaching alignment
-                # (e.g. "h_seq": 123) must be a client 422, not a dropped
-                # connection
+            except ValueError as e:
                 return self._reply(422, {'error': str(e)})
             self._reply(200, out)
 

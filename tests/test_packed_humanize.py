@@ -306,3 +306,49 @@ def test_packed_batch_reuse_policy():
     spy2 = Spy()
     list(H.iter_packed_chunks(spy2, stream[:3], 8))  # small first sweep
     assert spy2.batches[0] == 4   # right-sized, not 256
+
+
+def test_packed_batch_policy_failure_and_pad_to():
+    """A failing round must NOT register its bucket (the reuse policy would
+    otherwise steer every later stream onto the failing size forever), and
+    a bucket compiled at a different pad_to is not 'warm' for this one."""
+    class Boom(Exception):
+        pass
+
+    class Spy:
+        device_batch = 256
+
+        def __init__(self, fail_first=False):
+            self.fail_first = fail_first
+            self.batches = []
+
+        def sample_rows(self, rows, pad_to, batch=None):
+            if self.fail_first:
+                self.fail_first = False
+                raise Boom()
+            self.batches.append((batch, pad_to))
+            return np.zeros((len(rows), 4), np.int32)
+
+    spy = Spy(fail_first=True)
+    stream = [(i, {'x': 1}) for i in range(40)]
+    try:
+        list(H.iter_packed_chunks(spy, stream, 8))
+    except Boom:
+        pass
+    assert not getattr(spy, '_compiled_batches')  # failure not registered
+    list(H.iter_packed_chunks(spy, stream[:3], 8))
+    assert spy.batches[-1] == (4, 8)  # right-sized, not the failed 64
+
+    spy2 = Spy()
+    list(H.iter_packed_chunks(spy2, stream, 8))       # (64, 8) compiled
+    list(H.iter_packed_chunks(spy2, stream[:3], 16))  # other pad_to
+    assert spy2.batches[-1] == (4, 16)  # no cross-pad_to reuse
+    assert list(H.iter_packed_chunks(spy2, [], 8)) == []  # empty stream
+
+
+def test_pair_input_rejects_swapped_heavy_in_light_slot():
+    """A TRUE heavy chain in the light slot (swapped inputs) is rejected,
+    while borderline light chains still proceed via classify_light."""
+    assert H.pair_input(H1, H1) is None   # heavy in the light slot
+    assert H.pair_input(H1, L1) is not None
+    assert H.pair_input(123, L1) is None  # non-string stays rejected

@@ -175,10 +175,11 @@ def test_build_pair_dataset_rejects_fragments_and_swaps(tmp_path):
     l = ('DIQMTQSPSSLSASVGDRVTITCRASQSISSYLNWYQQKPGKAPKLLIYAASSLQSGVPSR'
          'FSGSGSGTDFTLTISSLQPEDFATYYCQQSYSTPLTFGGGTKVEIK')
     csv = tmp_path / 'pairs.csv'
+    h_alt = h.replace('GYYMH', 'GYYIH')
     pd.DataFrame({
-        'name': ['good', 'fragment', 'swapped'],
-        'h_seq': [h, 'QVQLVQSG', l],   # fragment + light-in-heavy-column
-        'l_seq': [l, l, h],
+        'name': ['good', 'fragment', 'swapped', 'heavy_in_l'],
+        'h_seq': [h, 'QVQLVQSG', l, h],   # fragment + light-in-heavy-column
+        'l_seq': [l, l, h, h_alt],        # + heavy-in-light-column
     }).to_csv(csv, index=False)
     out = oas.build_pair_dataset_from_csv(str(csv), str(tmp_path / 'ds'),
                                           split_ratio=0.5)
