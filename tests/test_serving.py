@@ -203,3 +203,44 @@ def test_pool_respects_batch_size():
         svc._pool(1, 4096)
     with pytest.raises(ValueError):
         svc._pool(10**8, None)
+
+
+def test_coalescer_partial_failure_isolation():
+    """A failing chunk must only fail jobs whose rows were not fully
+    served: a request completed in an earlier chunk keeps its result."""
+    import threading as _t
+
+    class Boom(Exception):
+        pass
+
+    class StubHum:
+        device_batch = 2
+
+        def __init__(self):
+            self.calls = 0
+
+        def sample_rows(self, rows, pad_to, batch=None):
+            self.calls += 1
+            if self.calls > 1:
+                raise Boom('chunk 2 exploded')
+            return np.zeros((len(rows), 4), np.int32)
+
+    coal = SV._Coalescer(StubHum(), _t.Lock(), window_ms=200.0)
+    inp = {'positions': np.arange(3), 'pad_to': 8}
+    results = {}
+
+    def run(name, n):
+        try:
+            results[name] = coal.submit(inp, n)
+        except Exception as e:  # noqa: BLE001
+            results[name] = e
+
+    ta = _t.Thread(target=run, args=('a', 2))
+    tb = _t.Thread(target=run, args=('b', 2))
+    ta.start(); tb.start(); ta.join(10); tb.join(10)
+    vals = list(results.values())
+    # exactly one of the two jobs completed (chunk 1), the other failed
+    oks = [v for v in vals if isinstance(v, np.ndarray)]
+    errs = [v for v in vals if isinstance(v, Exception)]
+    assert len(oks) == 1 and len(errs) == 1
+    assert oks[0].shape == (2, 4)
