@@ -220,7 +220,9 @@ def build_pair_dataset_from_csv(csv_path: str, out_dir: str,
                 # their column's group — chain_hint below bypasses
                 # grid_string's own typing gate, so a fragment or a
                 # swapped-column row would otherwise NW-align junk straight
-                # into the training store (same gates as pair_input)
+                # into the training store (pair_input's gates, with a
+                # STRICTER h-slot rule — h must type as 'H' outright:
+                # training data favors precision over borderline recall)
                 h_group, _, h_score = AL.detect_chain_type(h_seq)
                 l_scores = AL.profile_scores(l_seq)
                 _, _, l_score = AL.detect_chain_type(l_seq, l_scores)
@@ -230,9 +232,11 @@ def build_pair_dataset_from_csv(csv_path: str, out_dir: str,
                 continue
             if (h_score < AL.MIN_CHAIN_SCORE or l_score < AL.MIN_CHAIN_SCORE
                     or h_group != 'H' or AL.is_confident_heavy(l_scores)):
-                log.warning(
-                    'row %d: failed chain typing (h: %s %.0f, l: %.0f); '
-                    'skipped', i, h_group, h_score, l_score)
+                reason = ('l column types as a heavy chain (swapped '
+                          'columns?)' if AL.is_confident_heavy(l_scores)
+                          else f'h: {h_group} {h_score:.0f}, l: {l_score:.0f}')
+                log.warning('row %d: failed chain typing (%s); skipped',
+                            i, reason)
                 continue
             # the one shared threshold+message, rendered through the data
             # loader's logger instead of the warnings module

@@ -54,7 +54,8 @@ def pair_input(h_seq: str, l_seq: str, finetune: bool = False
     # reject fragments / non-antibody chains the way ANARCI numbering
     # failure would in the reference (scores: real domains ~500, junk <10)
     try:
-        _, _, h_score = AL.detect_chain_type(h_seq)
+        h_scores = AL.profile_scores(h_seq)
+        _, _, h_score = AL.detect_chain_type(h_seq, h_scores)
         l_scores = AL.profile_scores(l_seq)
         _, _, l_score = AL.detect_chain_type(l_seq, l_scores)
         # kappa/lambda by direct K-vs-L profile comparison (never forced to
@@ -65,10 +66,11 @@ def pair_input(h_seq: str, l_seq: str, finetune: bool = False
         return None  # unalignable / non-string input (NaN CSV cells etc.)
     if h_score < AL.MIN_CHAIN_SCORE or l_score < AL.MIN_CHAIN_SCORE:
         return None
-    if AL.is_confident_heavy(l_scores):
-        return None  # a heavy chain in the light slot (swapped inputs) —
-        # distinct from a borderline light chain, which proceeds via
-        # classify_light (round-2 weak #3)
+    if AL.is_confident_heavy(l_scores) or AL.is_confident_light(h_scores):
+        return None  # a true heavy chain in the light slot or light chain
+        # in the heavy slot (swapped/pasted inputs) — distinct from a
+        # borderline chain, which proceeds via classify_light
+        # (round-2 weak #3); HuAb348-calibrated margins in align.py
     AL.warn_ambiguous_light(l_group, l_margin)
     h = IMGT.grid_string(h_seq, heavy=True, chain_hint='H')
     l = IMGT.grid_string(l_seq, heavy=False, chain_hint=l_group)

@@ -152,9 +152,12 @@ class HumanizationService:
              'RFSGSGSGTDFTLTISSLQPEDFATYYCQQSYSTPLTFGGGTKVEIK')
         from .sampling import humanize as H
         # warm the FULL device_batch bucket: it registers in the batch-reuse
-        # policy, so every later drain — single requests and coalesced
-        # bursts alike — reuses this one pre-paid program instead of
-        # compiling a new size under the device lock at serve time
+        # policy, so later drains of the standard mode — single requests
+        # and coalesced bursts alike — reuse this one pre-paid program
+        # instead of compiling a new size under the device lock (rarer
+        # mask-width buckets, e.g. inpaint, still compile on first use;
+        # padded rounds are ~free on TPU, which is compute-saturated from
+        # B~16)
         if self.ab_coal is not None:
             inp = H.pair_input(h, l, finetune=self.ab_finetuned)
             self.ab_coal.submit(inp, self.ab.device_batch)

@@ -352,3 +352,10 @@ def test_pair_input_rejects_swapped_heavy_in_light_slot():
     assert H.pair_input(H1, H1) is None   # heavy in the light slot
     assert H.pair_input(H1, L1) is not None
     assert H.pair_input(123, L1) is None  # non-string stays rejected
+
+
+def test_pair_input_rejects_light_in_heavy_slot():
+    """Symmetric swap gate: a TRUE light chain in the heavy slot is
+    rejected (HuAb348-calibrated margin: real light chains score >100
+    points below H on the heavy profile)."""
+    assert H.pair_input(L1, L1) is None
