@@ -191,6 +191,21 @@ def main():
         atexit.register(_reap)
     bench_t0 = time.perf_counter()
 
+    # watchdog: a wedged device tunnel hangs the first backend touch
+    # inside a C call no signal can interrupt — at least say so on stderr
+    # instead of timing out silently
+    import threading
+    _devices_up = threading.Event()
+
+    def _watchdog():
+        if not _devices_up.wait(120):
+            _log('WARNING: backend/device init not complete after 120s — '
+                 'device tunnel unresponsive?')
+    threading.Thread(target=_watchdog, daemon=True).start()
+    jax.devices()
+    _devices_up.set()
+    _log(f'devices up: {jax.devices()[0].device_kind}')
+
     cfg = DenoiserConfig()  # full-size flagship
     model = AntiTFNet(cfg, dtype=jnp.bfloat16)
 
