@@ -56,3 +56,25 @@ def test_huab348_alignment_and_anchor_rates():
     assert l_rate >= 0.99, f'light align rate regressed: {l_rate:.4f}'
     assert h_anchor >= 0.97, f'heavy anchor rate regressed: {h_anchor:.4f}'
     assert l_anchor >= 0.97, f'light anchor rate regressed: {l_anchor:.4f}'
+
+
+def test_chain_margin_separation():
+    """Pin the is_confident_heavy / is_confident_light calibration on real
+    data (first 100 HuAb348 rows = 200 chains): every heavy chain's
+    H-minus-best-light profile margin clears +LIGHT_MARGIN_AMBIGUOUS and
+    every light chain clears -LIGHT_MARGIN_AMBIGUOUS. Full-set measurement
+    (1392 chains): heavy margins [+156, +553], light [-553, -133] — the
+    30.0 threshold sits >100 points from both distributions."""
+    from hudiff_tpu.numbering import align as AL
+    df = pd.read_csv(HUAB348).head(100)
+    for col, heavy in (('h_seq', True), ('l_seq', False)):
+        for s in df[col]:
+            if not isinstance(s, str):
+                continue
+            scores = AL.profile_scores(s)
+            if heavy:
+                assert AL.is_confident_heavy(scores), s[:30]
+                assert not AL.is_confident_light(scores), s[:30]
+            else:
+                assert AL.is_confident_light(scores), s[:30]
+                assert not AL.is_confident_heavy(scores), s[:30]
