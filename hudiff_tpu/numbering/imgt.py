@@ -162,6 +162,19 @@ def place_on_grid(seq: str, chain_type: str = 'H',
     if res is None:
         return None
     aho, _score = res
+    if not AL.alignment_quality_ok(aho, _score, len(seq)):
+        # defined failure behavior for out-of-family input (rat/rabbit
+        # frameworks align fine, keep their anchors, and score >=4/residue;
+        # scrambled, frame-shifted, or non-antibody input does not): clean
+        # None + loud warning, never a silently mis-gridded chain
+        # (round-3 VERDICT next #7)
+        import warnings
+        warnings.warn(
+            f'rejecting alignment of {seq[:16]}...: invariant AHo anchors '
+            '(Cys23/Trp43/Cys106) missing or profile score below the '
+            'V-domain floor — likely not a V-domain or a frame-shifted '
+            'alignment', stacklevel=2)
+        return None
     counts = _imgt_counts(_region_counts(aho), heavy)
     if counts is None:
         return None
