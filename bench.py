@@ -11,22 +11,37 @@ so the baseline here is that exact loop structure with the same model weights
 on the same chip; ``vs_baseline`` is the speedup of the single fused
 lax.scan program over it.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — ALWAYS,
+even when the device tunnel is down (round-3 lesson: BENCH_r03 recorded
+rc=1/parsed=null because the first jax.devices() raised). Resilience layers:
+
+- supervisor mode (the default entry): re-runs this script as a subprocess
+  with a hard timeout and retries on failure/hang — a fresh process gets a
+  fresh backend-init attempt — and on final failure prints an error JSON
+  itself, so stdout can never end without a parseable line;
+- the inner run retries ``jax.devices()`` in-process with backoff (jax only
+  caches *successful* backend init, so a raise is retryable) and wraps the
+  whole bench in a try/except that emits whatever partial results exist.
 """
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
+_IS_INNER = os.environ.get('HUDIFF_BENCH_INNER') == '1'
+_IS_CHILD = len(sys.argv) > 2 and sys.argv[1] == '--pretrain-json'
 
-from hudiff_tpu.utils.compile_cache import enable_compile_cache
+if _IS_INNER or _IS_CHILD:
+    import jax
+    import jax.numpy as jnp
 
-# Compiles on the tunnel run minutes; the persistent cache makes the
-# driver's bench run hit warm executables from the pre-warm run.
-enable_compile_cache()
+    from hudiff_tpu.utils.compile_cache import enable_compile_cache
+
+    # Compiles on the tunnel run minutes; the persistent cache makes the
+    # driver's bench run hit warm executables from the pre-warm run.
+    enable_compile_cache()
 
 
 # bf16 peak TFLOP/s per chip for MFU accounting (public spec sheets).
@@ -46,9 +61,49 @@ _T0 = time.perf_counter()
 
 def _log(msg: str) -> None:
     """Elapsed-stamped progress on stderr (stdout carries only the JSON)."""
-    import sys
     print(f'[bench +{time.perf_counter() - _T0:7.1f}s] {msg}',
           file=sys.stderr, flush=True)
+
+
+# Partial results accumulate here as sections complete; any failure path
+# emits whatever is present so one wedged section degrades the JSON
+# instead of erasing it.
+_RESULT = {
+    'metric': 'ab_humanization_throughput',
+    'value': 0.0,
+    'unit': 'seqs/sec/chip',
+    'vs_baseline': 0.0,
+    'detail': {},
+}
+_EMITTED = False
+
+
+def _emit_result(error: str = None) -> None:
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    if error:
+        _RESULT['error'] = error[:500]
+    print(json.dumps(_RESULT), flush=True)
+
+
+def _init_devices_with_retry(attempts: int = 3, backoff: float = 60.0):
+    """jax.devices() with retry: backend init failures raise WITHOUT caching
+    (xla_bridge.backends() early-returns only when _backends is populated),
+    so a later call re-attempts the tunnel handshake."""
+    last = None
+    for i in range(attempts):
+        try:
+            return jax.devices()
+        except Exception as e:  # noqa: BLE001 - any backend init error
+            last = e
+            _log(f'backend init attempt {i + 1}/{attempts} failed: '
+                 f'{str(e)[:200]}')
+            if i + 1 < attempts:
+                _log(f'retrying in {backoff:.0f}s')
+                time.sleep(backoff)
+    raise last
 
 
 def _chip_peak_tflops() -> float:
@@ -70,7 +125,15 @@ def bench_pretrain_step(B: int = 128):
     from hudiff_tpu.training import train_step as T
     from hudiff_tpu.utils.config import Namespace
 
-    cfg = DenoiserConfig()
+    if os.environ.get('HUDIFF_BENCH_TINY') == '1':
+        # smoke-test knob: tiny config so the full child path (compile +
+        # timed loop + fed pipeline) runs in seconds on CPU in CI
+        cfg = DenoiserConfig(d_embedding=32, d_model=32, n_encoder_layers=1,
+                             r=16, s_model=32, r_model=32, n_pos_model=32,
+                             sum_d_model=96, dual_layers=1, att_model=32,
+                             dim_feedforward=32, nhead=2, cs_layers=1)
+    else:
+        cfg = DenoiserConfig()
     model = AntiTFNet(cfg, dtype=jnp.bfloat16)
     rs = np.random.RandomState(0)
     tokens = jnp.asarray(rs.randint(0, C.N_AA, (B, C.PAIR_LEN)), jnp.int32)
@@ -116,7 +179,7 @@ def bench_pretrain_step(B: int = 128):
     gate_timed_out = False
     if gate:
         _log('pretrain: compiled, waiting on gate')
-        budget = int(os.environ.get('HUDIFF_BENCH_TRAIN_TIMEOUT', 540))
+        budget = int(os.environ.get('HUDIFF_BENCH_TRAIN_TIMEOUT', 660))
         deadline = time.time() + budget + 120
         while not os.path.exists(gate) and time.time() < deadline:
             time.sleep(0.5)
@@ -148,7 +211,86 @@ def bench_pretrain_step(B: int = 128):
         if peak:
             out['mfu_pct'] = round(100.0 * tflops / peak, 1)
             out['chip_bf16_peak_tflops'] = peak
+
+    # fed-pipeline measurement: same compiled step, but batches arrive
+    # through the real input path (RecordStore -> batch_iterator ->
+    # device_feed) instead of living on-device. The reference burns
+    # DataLoader worker processes on exactly this path
+    # (antibody_scripts/antibody_train.py:383-396); the honest claim is the
+    # FED rate and its fraction of the synthetic rate, not the synthetic
+    # rate alone (round-3 VERDICT weak #6).
+    try:
+        _log('pretrain: fed-pipeline section start')
+        out['fed'] = _bench_fed_pipeline(compiled, state, B, dt)
+    except Exception as e:  # noqa: BLE001 - degrade, don't erase the rest
+        out['fed'] = {'error': str(e)[:200]}
     return out
+
+
+def _bench_fed_pipeline(compiled, state, B: int, synth_dt: float,
+                        n_steps: int = 50):
+    """Drive the compiled train step from the real host input pipeline.
+
+    Builds a throwaway RecordStore of synthetic-but-well-formed pair grids
+    (pad sprinkling like real IMGT grids), then times ``n_steps`` where each
+    batch flows store -> pair_batch collate -> prefetch thread -> device_put
+    -> step. Reports the fed rate and its fraction of the synthetic
+    (device-resident) rate; the gap is input stall."""
+    import shutil
+    import tempfile
+
+    from hudiff_tpu import constants as C
+    from hudiff_tpu.data import oas as D
+    from hudiff_tpu.data import store as RS
+    from hudiff_tpu.data.pipeline import device_feed
+    from hudiff_tpu.tokenizer import Tokenizer
+
+    tok = Tokenizer()
+    light_len = C.PAIR_LEN - C.HEAVY_LEN
+    rs_ = np.random.RandomState(7)
+    tmp = tempfile.mkdtemp(prefix='hudiff_fedbench_')
+    try:
+        store_path = os.path.join(tmp, 'store')
+        n_rec = 4096
+        with RS.RecordStoreWriter(store_path) as w:
+            for _ in range(n_rec):
+                h = rs_.randint(0, C.N_AA, C.HEAVY_LEN)
+                l = rs_.randint(0, C.N_AA, light_len)
+                h[rs_.rand(C.HEAVY_LEN) < 0.2] = C.IDX_PAD
+                l[rs_.rand(light_len) < 0.2] = C.IDX_PAD
+                w.put_obj({'h_pad_seq': tok.idx2seq_pad(h),
+                           'l_pad_seq': tok.idx2seq_pad(l),
+                           'h_type': 'H', 'l_type': 'K'})
+        store = RS.RecordStore(store_path)
+        it = D.batch_iterator(store, np.arange(n_rec), B, D.pair_batch,
+                              seed=3)
+        feed = device_feed(it, prefetch_size=2)
+        rng = jax.random.PRNGKey(11)
+        rngs = [jax.random.fold_in(rng, i) for i in range(n_steps + 2)]
+        jax.block_until_ready(rngs)
+        m = None
+        for i in range(2):  # warm host-transfer layouts + prefetch queue
+            b = next(feed)
+            state, m = compiled(state, b['tokens'], b['chain_type'], rngs[i])
+        jax.block_until_ready(m['loss'])
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            b = next(feed)
+            state, m = compiled(state, b['tokens'], b['chain_type'],
+                                rngs[2 + i])
+        jax.block_until_ready(m['loss'])
+        fed_dt = (time.perf_counter() - t0) / n_steps
+        return {
+            'steps_per_sec': round(1.0 / fed_dt, 3),
+            'seqs_per_sec': round(B / fed_dt, 1),
+            'sec_per_step': round(fed_dt, 4),
+            'n_steps': n_steps,
+            'records': n_rec,
+            # 1.0 = no input stall; <1 means the host pipeline is behind
+            'of_synthetic_rate': round(synth_dt / fed_dt, 3),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main():
@@ -163,7 +305,7 @@ def main():
     # its compile overlaps the sampling section's, and a hard timeout on the
     # remaining wait means a hung compile degrades the detail field instead
     # of eating the headline sampling metric. HUDIFF_BENCH_TRAIN_B=0 skips
-    # it; HUDIFF_BENCH_TRAIN_TIMEOUT bounds the total wait (default 540 s).
+    # it; HUDIFF_BENCH_TRAIN_TIMEOUT bounds the total wait (default 660 s).
     train_b = int(os.environ.get('HUDIFF_BENCH_TRAIN_B', 128))
     train_proc = None
     gate_path = None
@@ -202,9 +344,12 @@ def main():
             _log('WARNING: backend/device init not complete after 120s — '
                  'device tunnel unresponsive?')
     threading.Thread(target=_watchdog, daemon=True).start()
-    jax.devices()
+    _init_devices_with_retry(
+        attempts=int(os.environ.get('HUDIFF_BENCH_INIT_RETRIES', 3)),
+        backoff=float(os.environ.get('HUDIFF_BENCH_INIT_BACKOFF', 60)))
     _devices_up.set()
     _log(f'devices up: {jax.devices()[0].device_kind}')
+    _RESULT['detail']['device_kind'] = jax.devices()[0].device_kind
 
     cfg = DenoiserConfig()  # full-size flagship
     model = AntiTFNet(cfg, dtype=jnp.bfloat16)
@@ -251,6 +396,10 @@ def main():
     dt = (time.perf_counter() - t0) / n_rep
     throughput = B / dt
     _log('sampling: timed runs done')
+    # partial result: a later section failing must not erase this number
+    _RESULT['value'] = round(throughput, 3)
+    _RESULT['detail'].update({'batch': B, 'positions': K,
+                              'scan_sec_per_batch': round(dt, 4)})
 
     # reference-style baseline: sequential host loop, batch 1
     seq_run = S.sequential_reference_sampler(model, params)
@@ -272,7 +421,7 @@ def main():
     # sampling section; see the comment there)
     if train_proc is not None:
         import subprocess
-        budget = int(os.environ.get('HUDIFF_BENCH_TRAIN_TIMEOUT', 540))
+        budget = int(os.environ.get('HUDIFF_BENCH_TRAIN_TIMEOUT', 660))
         remaining = max(10.0, budget - (time.perf_counter() - bench_t0))
         try:
             out_text, _ = train_proc.communicate(timeout=remaining)
@@ -288,24 +437,79 @@ def main():
     else:
         pretrain = {'skipped': True}
 
-    print(json.dumps({
-        "metric": "ab_humanization_throughput",
-        "value": round(throughput, 3),
-        "unit": "seqs/sec/chip",
-        "vs_baseline": round(throughput / baseline_throughput, 2),
-        "detail": {"batch": B, "positions": K,
-                   "scan_sec_per_batch": round(dt, 4),
-                   "sequential_sec_per_seq": round(baseline_dt, 4),
-                   "pretrain_step": pretrain},
-    }))
+    _RESULT['vs_baseline'] = round(throughput / baseline_throughput, 2)
+    _RESULT['detail'].update({
+        'sequential_sec_per_seq': round(baseline_dt, 4),
+        'pretrain_step': pretrain,
+    })
+    _emit_result()
+
+
+def supervise() -> None:
+    """Re-run this script as an inner subprocess with a hard timeout and
+    retry. A wedged device tunnel hangs the first backend touch inside a C
+    call no signal can interrupt in-process — but the supervisor CAN kill
+    the whole process group and try again with a fresh backend. Guarantees
+    exactly one JSON line on stdout no matter what the environment does."""
+    import signal
+    import subprocess
+
+    attempts = int(os.environ.get('HUDIFF_BENCH_ATTEMPTS', 2))
+    # generous per-attempt budget: cold tunnel compiles run minutes each
+    attempt_timeout = float(os.environ.get('HUDIFF_BENCH_ATTEMPT_TIMEOUT',
+                                           1800))
+    last_error = 'no attempts ran'
+    for i in range(attempts):
+        _log(f'supervisor: attempt {i + 1}/{attempts} '
+             f'(timeout {attempt_timeout:.0f}s)')
+        env = dict(os.environ, HUDIFF_BENCH_INNER='1')
+        # new session: on timeout, kill the whole group (the inner spawns a
+        # pretrain child; SIGKILL on the inner alone would orphan it on the
+        # chip, poisoning the retry)
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            stdout=subprocess.PIPE, stderr=None, text=True, env=env,
+            start_new_session=True)
+        try:
+            out_text, _ = proc.communicate(timeout=attempt_timeout)
+        except subprocess.TimeoutExpired:
+            _log(f'supervisor: attempt {i + 1} hung past '
+                 f'{attempt_timeout:.0f}s, killing process group')
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except OSError:
+                proc.kill()
+            proc.communicate()
+            last_error = f'attempt hung past {attempt_timeout:.0f}s'
+            continue
+        lines = [l for l in (out_text or '').strip().splitlines() if l]
+        if lines:
+            try:
+                parsed = json.loads(lines[-1])
+            except ValueError:
+                last_error = f'unparseable inner stdout: {lines[-1][:200]}'
+                continue
+            if proc.returncode == 0 or 'metric' in parsed:
+                print(json.dumps(parsed), flush=True)
+                return
+            last_error = str(parsed.get('error', f'rc={proc.returncode}'))
+        else:
+            last_error = f'inner exited rc={proc.returncode} with no output'
+        _log(f'supervisor: attempt {i + 1} failed: {last_error[:200]}')
+    _emit_result(error=f'all {attempts} attempts failed; last: {last_error}')
 
 
 if __name__ == '__main__':
-    import sys
     if len(sys.argv) > 2 and sys.argv[1] == '--pretrain-json':
         try:
             print(json.dumps(bench_pretrain_step(B=int(sys.argv[2]))))
         except Exception as e:  # noqa: BLE001 - report, don't crash the parent
             print(json.dumps({'error': str(e)[:200]}))
+    elif _IS_INNER:
+        try:
+            main()
+        except BaseException as e:  # noqa: BLE001 - always leave a JSON line
+            _emit_result(error=f'{type(e).__name__}: {e}')
+            raise
     else:
-        main()
+        supervise()
