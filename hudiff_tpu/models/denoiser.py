@@ -81,6 +81,12 @@ class RoPEAttention(nn.Module):
 
     On TPU the scores/softmax/AV stage runs as a fused Pallas kernel
     (ops/pallas_attention.py), avoiding the [B, H, L, L] HBM round-trip.
+
+    ``tp_mesh``: a ('data', 'model') Mesh enabling tensor parallelism — the
+    merged head-major QKV projection is column-sharded over 'model' and the
+    fused kernel runs per shard under shard_map with heads/tp local heads
+    (zero gathers; the out-projection all-reduces). See
+    ops/pallas_attention.py::rope_attention_qkv_tp.
     """
     d_model: int
     att_model: int
@@ -88,23 +94,30 @@ class RoPEAttention(nn.Module):
     length: int
     dtype: jnp.dtype = jnp.float32
     use_pallas: str = 'auto'
+    tp_mesh: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from ..ops.pallas_attention import rope_attention_qkv
+        from ..ops.pallas_attention import (rope_attention_qkv,
+                                            rope_attention_qkv_tp)
         B, L, _ = x.shape
         head_dim = self.att_model // self.nhead
         # One merged QKV matmul (the reference's three projections are
-        # concatenated by the checkpoint converter), passed to the kernel
-        # as a single buffer: no split copies at the custom-call boundary,
-        # per-head slicing + RoPE happen in VMEM.
+        # merged head-major by the checkpoint converter), passed to the
+        # kernel as a single buffer: no split copies at the custom-call
+        # boundary, per-head slicing + RoPE happen in VMEM.
         qkv = nn.Dense(3 * self.att_model, dtype=self.dtype,
                        param_dtype=jnp.float32, name='qkv')(x)
 
         cos, sin = rope_tables(head_dim, self.length)
         scale = 1.0 / float(np.sqrt(head_dim))
-        out = rope_attention_qkv(qkv, cos[:L], sin[:L], scale, self.nhead,
-                                 use_pallas=self.use_pallas)
+        if self.tp_mesh is not None:
+            out = rope_attention_qkv_tp(qkv, cos[:L], sin[:L], scale,
+                                        self.nhead, self.tp_mesh,
+                                        use_pallas=self.use_pallas)
+        else:
+            out = rope_attention_qkv(qkv, cos[:L], sin[:L], scale, self.nhead,
+                                     use_pallas=self.use_pallas)
         return nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
                         name='out')(out)
 
@@ -119,13 +132,17 @@ class SelfAttBlock(nn.Module):
     nhead: int
     length: int
     dtype: jnp.dtype = jnp.float32
+    use_pallas: str = 'auto'
+    tp_mesh: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        at = x + RoPEAttention(self.d_model, self.att_model, self.nhead,
-                               self.length, dtype=self.dtype, name='attn')(x)
-        at = at + RoPEAttention(self.d_model, self.att_model, self.nhead,
-                                self.length, dtype=self.dtype, name='attn_c')(
+        attn = lambda name: RoPEAttention(
+            self.d_model, self.att_model, self.nhead, self.length,
+            dtype=self.dtype, use_pallas=self.use_pallas,
+            tp_mesh=self.tp_mesh, name=name)
+        at = x + attn('attn')(x)
+        at = at + attn('attn_c')(
             nn.LayerNorm(dtype=self.dtype, name='norm1')(at))
         h = nn.LayerNorm(dtype=self.dtype, name='norm2')(at)
         h = nn.Dense(self.dim_feedforward, dtype=self.dtype,
@@ -143,12 +160,15 @@ class SelfAttNet(nn.Module):
     length: int
     n_layers: int
     dtype: jnp.dtype = jnp.float32
+    use_pallas: str = 'auto'
+    tp_mesh: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i in range(self.n_layers):
             x = SelfAttBlock(self.d_model, self.att_model, self.dim_feedforward,
                              self.nhead, self.length, dtype=self.dtype,
+                             use_pallas=self.use_pallas, tp_mesh=self.tp_mesh,
                              name=f'block_{i}')(x)
         return x
 
@@ -183,9 +203,15 @@ class AntiTFNet(nn.Module):
     Architecture (reference AntiTFNet.forward, model/encoder/model.py:366-384):
     token embed -> split H/L ByteNet towers -> (+pos, +side) -> concat(3d)
     -> split dual conv towers -> joint RoPE self-attention -> LN -> decode.
+
+    ``tp_mesh``: optional ('data', 'model') Mesh — attention runs
+    tensor-parallel over 'model' via shard_map'd fused kernels (see
+    RoPEAttention); pair with parallel.mesh.param_shardings.
     """
     cfg: DenoiserConfig
     dtype: jnp.dtype = jnp.float32
+    use_pallas: str = 'auto'
+    tp_mesh: Any = None
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray, region: jnp.ndarray,
@@ -217,7 +243,8 @@ class AntiTFNet(nn.Module):
 
         feature = SelfAttNet(cfg.sum_d_model, cfg.att_model, cfg.dim_feedforward,
                              cfg.nhead, cfg.max_len, cfg.cs_layers,
-                             dtype=self.dtype, name='self_att')(feature)
+                             dtype=self.dtype, use_pallas=self.use_pallas,
+                             tp_mesh=self.tp_mesh, name='self_att')(feature)
         feature = nn.LayerNorm(dtype=self.dtype, name='last_norm')(feature)
         return nn.Dense(cfg.n_tokens, dtype=jnp.float32, param_dtype=jnp.float32,
                         name='decoder')(feature.astype(jnp.float32))
@@ -228,6 +255,8 @@ class NanoAntiTFNet(nn.Module):
     (reference NanoAntiTFNet.forward, model/nanoencoder/model.py:325-343)."""
     cfg: DenoiserConfig
     dtype: jnp.dtype = jnp.float32
+    use_pallas: str = 'auto'
+    tp_mesh: Any = None
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray, region: jnp.ndarray,
@@ -254,7 +283,8 @@ class NanoAntiTFNet(nn.Module):
                                                  deterministic=deterministic)
         feature = SelfAttNet(cfg.sum_d_model, cfg.att_model, cfg.dim_feedforward,
                              cfg.nhead, cfg.max_len, cfg.cs_layers,
-                             dtype=self.dtype, name='self_att')(feature)
+                             dtype=self.dtype, use_pallas=self.use_pallas,
+                             tp_mesh=self.tp_mesh, name='self_att')(feature)
         feature = nn.LayerNorm(dtype=self.dtype, name='last_norm')(feature)
         return nn.Dense(cfg.n_tokens, dtype=jnp.float32, param_dtype=jnp.float32,
                         name='decoder')(feature.astype(jnp.float32))

@@ -32,9 +32,13 @@ def make_mesh(devices: Optional[Sequence] = None, model_axis: int = 1) -> Mesh:
 # Parameter-path regexes -> PartitionSpec over the ('data', 'model') mesh.
 # Matched against '/'.join(path) of the flax param tree.
 _TP_RULES = (
-    # merged QKV projection: [d_model, 3*att_model] column-sharded (GSPMD
-    # keeps logical q|k|v semantics; on TPU the fused kernel gathers its
-    # operand, on the XLA fallback the split shards cleanly)
+    # merged QKV projection: [d_model, 3*att_model] column-sharded. The
+    # kernel layout is HEAD-MAJOR (per-head [q|k|v] groups,
+    # ops/pallas_attention.py), so this sharding lands exactly on head
+    # boundaries: the fused attention kernel runs per shard under shard_map
+    # with heads/tp local heads and zero gathers (rope_attention_qkv_tp),
+    # and the out-projection's row sharding below contracts the
+    # head-sharded activation with one all-reduce (Megatron pattern).
     (re.compile(r'attn(_c)?/qkv/kernel$'), P(None, 'model')),
     (re.compile(r'attn(_c)?/qkv/bias$'), P('model')),
     (re.compile(r'attn(_c)?/out/kernel$'), P('model', None)),

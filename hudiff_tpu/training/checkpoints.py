@@ -129,8 +129,13 @@ class TorchParamConverter:
         return np.concatenate([h * d + per_head for h in range(self.nhead)])
 
     def qkv_dense(self, dst: str, src: str):
-        """Concatenate the reference's query/key/value projections into the
-        merged qkv Dense, permuting q/k columns into rotate-half order."""
+        """Merge the reference's query/key/value projections into the merged
+        qkv Dense, permuting q/k columns into rotate-half order.
+
+        Column layout is HEAD-MAJOR: per-head [q_h | k_h | v_h] groups of
+        3*head_dim, so a P(None, 'model') column sharding of this kernel
+        splits exactly at head boundaries (ops/pallas_attention.py
+        rope_attention_qkv_tp)."""
         sd = self.sd
         ws, bs = [], []
         for part, permute in (('query', True), ('key', True), ('value', False)):
@@ -142,8 +147,13 @@ class TorchParamConverter:
                 b = None if b is None else b[perm]
             ws.append(w)
             bs.append(b if b is not None else np.zeros(w.shape[1], w.dtype))
-        self.put(dst + '/kernel', np.concatenate(ws, axis=1))
-        self.put(dst + '/bias', np.concatenate(bs))
+        d_in, A = ws[0].shape
+        hd = A // self.nhead
+        # [in, A] x3 -> [in, H, 3, hd] -> [in, 3A] head-major
+        wm = np.stack([w.reshape(d_in, self.nhead, hd) for w in ws], axis=2)
+        bm = np.stack([b.reshape(self.nhead, hd) for b in bs], axis=1)
+        self.put(dst + '/kernel', wm.reshape(d_in, 3 * A))
+        self.put(dst + '/bias', bm.reshape(3 * A))
 
     def layernorm(self, dst: str, src: str):
         self.put(dst + '/scale', self.sd[src + '.weight'])

@@ -74,7 +74,7 @@ def run(cfg: Namespace, kind: str, data_path: Optional[str], logdir: str,
         synthetic: int = 0, max_iter: Optional[int] = None,
         valid_step: Optional[int] = None, resume: Optional[str] = None,
         seed: Optional[int] = None, use_bf16: bool = True,
-        tag: str = '') -> str:
+        tag: str = '', tp: int = 1) -> str:
     assert kind in ('pair', 'heavy')
     seed = seed if seed is not None else cfg.train.get('seed', 2023)
     seed_all(seed)
@@ -85,9 +85,15 @@ def run(cfg: Namespace, kind: str, data_path: Optional[str], logdir: str,
     metrics_writer = MetricsWriter(log_dir)
     snapshot_source(log_dir)
 
+    # mesh: data-parallel by default; --tp N adds a 'model' axis — attention
+    # QKV/FFN kernels column/row-sharded per parallel/mesh.py rules, fused
+    # attention shard_map'd with per-shard head groups (models/denoiser.py)
+    mesh = M.make_mesh(model_axis=tp)
+
     model_cfg = DenoiserConfig.from_dict(cfg.model)
     dtype = jnp.bfloat16 if use_bf16 else jnp.float32
-    model = (AntiTFNet if kind == 'pair' else NanoAntiTFNet)(model_cfg, dtype=dtype)
+    model = (AntiTFNet if kind == 'pair' else NanoAntiTFNet)(
+        model_cfg, dtype=dtype, tp_mesh=(mesh if tp > 1 else None))
 
     batch_size = cfg.train.batch_size
     max_iter = max_iter if max_iter is not None else cfg.train.max_iter
@@ -108,8 +114,6 @@ def run(cfg: Namespace, kind: str, data_path: Optional[str], logdir: str,
         val_it, n_val_batches = data_batches(kind, data_path, batch_size,
                                              'val', data_seed + 1)
 
-    # mesh: pure data-parallel for pretraining
-    mesh = M.make_mesh(model_axis=1)
     bshard = M.batch_sharding(mesh)
     train_feed = pipeline.device_feed(train_it, bshard)
     val_feed = pipeline.device_feed(val_it, bshard)
@@ -127,7 +131,8 @@ def run(cfg: Namespace, kind: str, data_path: Optional[str], logdir: str,
                            jnp.zeros((1, 2), jnp.int32))
     else:
         params = fast_init(model, rng, init_tokens, init_region)
-    params = jax.device_put(params, M.replicated(mesh))
+    params = jax.device_put(params, M.param_shardings(mesh, params)
+                            if tp > 1 else M.replicated(mesh))
     logger.info('parameters: %d', count_parameters(params))
 
     tx = schedules.make_optimizer(cfg.train.optimizer,
@@ -149,8 +154,10 @@ def run(cfg: Namespace, kind: str, data_path: Optional[str], logdir: str,
         # lay the restored host trees out over the mesh (mixing restored
         # single-device arrays with mesh-replicated ones fails at jit call)
         rep = M.replicated(mesh)
+        pshard = (M.param_shardings(mesh, restored['payload']['params'])
+                  if tp > 1 else rep)
         state = state.replace(
-            params=jax.device_put(restored['payload']['params'], rep),
+            params=jax.device_put(restored['payload']['params'], pshard),
             opt_state=jax.device_put(restored['payload']['opt_state'], rep),
             step=jax.device_put(jnp.asarray(opt_steps, jnp.int32), rep))
         # continue at the persisted scheduler LR / patience / best-val
@@ -262,6 +269,9 @@ def main(argv=None):
     p.add_argument('--fp32', action='store_true')
     p.add_argument('--profile', action='store_true',
                    help='capture a jax.profiler trace of the first iterations')
+    p.add_argument('--tp', type=int, default=1,
+                   help='tensor-parallel size (adds a "model" mesh axis; '
+                        'device count must be divisible by it)')
     p.add_argument('--multihost', action='store_true',
                    help='initialize jax.distributed for multi-host (DCN) '
                         'training; each host feeds its own data shard '
@@ -292,13 +302,14 @@ def main(argv=None):
             out = run(cfg, kind, args.data, args.logdir,
                       synthetic=args.synthetic, max_iter=args.max_iter,
                       valid_step=args.valid_step, resume=args.resume,
-                      seed=args.seed, use_bf16=not args.fp32, tag=args.tag)
+                      seed=args.seed, use_bf16=not args.fp32, tag=args.tag,
+                      tp=args.tp)
         print(f'profiler trace written to {trace_dir}')
         return out
     return run(cfg, kind, args.data, args.logdir, synthetic=args.synthetic,
                max_iter=args.max_iter, valid_step=args.valid_step,
                resume=args.resume, seed=args.seed, use_bf16=not args.fp32,
-               tag=args.tag)
+               tag=args.tag, tp=args.tp)
 
 
 if __name__ == '__main__':
