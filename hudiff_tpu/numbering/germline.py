@@ -13,9 +13,18 @@ duplicates, IGLV1-10) plus the complete functional J sets (IGHJ1-6 as their
 four distinct FR4 proteins, IGKJ1-5, IGLJ1/2/3/6/7). Germline amino-acid
 sequences are public scientific constants (IMGT/GENE-DB translations); every
 entry is structurally validated in tests (grid alignment, conserved IMGT
-23/104 cysteines, FR length). Rare alleles of the same gene differ by a
-residue or two, so nearest-gene selection is within ~1% FR identity of
-abnumber's full several-hundred-allele database.
+23/104 cysteines, FR length). The cost of one allele per gene vs
+abnumber's full several-hundred-allele database is MEASURED on HuAb348
+(tools/germline_margin.py -> docs/germline_margin_huab348.json): the
+best-vs-second-gene FR-identity margin is small (median 1 residue over
+~80 FR1-FR3 slots for H/K chains), so the *gene name* abnumber reports
+can differ — but every alternative trails the winner by so little that
+the reported germline FR identity is within the margin itself, and the
+representative-allele underreport is bounded by (within-gene allele
+distance)/|FR| ~= 2/80 = 2.5 identity points at the conservative
+2-residue IMGT allele scale (typical alleles differ by ~1 residue ->
+~1.3 points). Grafting is likewise insensitive: the chosen donor
+framework is within 1-2 FR residues of any alternative.
 
 V genes cover FR1..FR3 plus the germline-encoded start of CDR3; J genes
 contribute FR4 (IMGT 118-128 heavy / 118-127 light).
@@ -292,26 +301,37 @@ def _vernier_mask(heavy: bool) -> np.ndarray:
     return np.asarray(tab) == 5
 
 
-def nearest_v(grid: np.ndarray, group: str) -> Tuple[str, np.ndarray]:
-    """Nearest germline V gene by framework identity on the IMGT grid
-    (abnumber picks its graft donor the same way: highest-identity human
-    germline)."""
+def v_gene_scores(grid: np.ndarray, group: str) -> Dict[str, float]:
+    """FR1-FR3 identity of the query grid against EVERY library V gene.
+
+    The full score vector (not just the argmax) is what lets the
+    selection-robustness study (tools/germline_margin.py) measure how far
+    the best gene leads the runner-up — the margin that bounds the effect
+    of representing each gene by one allele instead of abnumber's full
+    allele set."""
     heavy = group == 'H'
     fr = ~_cdr_mask(heavy)
     fr4 = np.zeros_like(fr)
     fr4[-_FR4_LEN[group]:] = True
     fr_v = fr & ~fr4  # V gene covers FR1-FR3 only
-    best_name, best_grid, best_score = None, None, -1.0
+    scores = {}
     for name, g in _gridded_library(group).items():
         occ = fr_v & ((grid != '-') | (g != '-'))
         if occ.sum() == 0:
             continue
-        score = float((grid[occ] == g[occ]).mean())
-        if score > best_score:
-            best_name, best_grid, best_score = name, g, score
-    if best_name is None:
+        scores[name] = float((grid[occ] == g[occ]).mean())
+    return scores
+
+
+def nearest_v(grid: np.ndarray, group: str) -> Tuple[str, np.ndarray]:
+    """Nearest germline V gene by framework identity on the IMGT grid
+    (abnumber picks its graft donor the same way: highest-identity human
+    germline)."""
+    scores = v_gene_scores(grid, group)
+    if not scores:
         raise ValueError(f'no germline aligned for group {group}')
-    return best_name, best_grid
+    best_name = max(scores, key=scores.get)
+    return best_name, _gridded_library(group)[best_name]
 
 
 def nearest_j(grid: np.ndarray, group: str) -> Tuple[str, str]:

@@ -52,8 +52,15 @@ class _Coalescer:
         self._queue: List[dict] = []
         self._cv = threading.Condition()
         self.rounds = 0  # device rounds issued (observability + tests)
+        self.max_queue_rows = 0  # high-water mark of queued candidate rows
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
+
+    @property
+    def queue_rows(self) -> int:
+        """Candidate rows currently waiting for a device round."""
+        with self._cv:
+            return sum(j['n'] for j in self._queue)
 
     def submit(self, inp: Dict, n_rows: int) -> np.ndarray:
         """Block until this request's ``n_rows`` sampled grids are ready."""
@@ -61,6 +68,8 @@ class _Coalescer:
                'event': threading.Event(), 'error': None}
         with self._cv:
             self._queue.append(job)
+            depth = sum(j['n'] for j in self._queue)
+            self.max_queue_rows = max(self.max_queue_rows, depth)
             self._cv.notify()
         job['event'].wait()
         if job['error'] is not None:
@@ -263,33 +272,53 @@ class HumanizationService:
                 'device': str(jax.devices()[0]),
                 'device_rounds': rounds}
 
+    # latency samples kept per endpoint for percentile estimation; a fixed
+    # window bounds memory and keeps the percentiles recency-weighted
+    LATENCY_WINDOW = 2048
+
     def record_request(self, endpoint: str, seconds: float,
                        ok: bool) -> None:
+        from collections import deque
         with self._stats_lock:
             s = self._stats.setdefault(
                 endpoint, {'count': 0, 'errors': 0, 'total_sec': 0.0,
-                           'max_sec': 0.0})
+                           'max_sec': 0.0,
+                           'recent': deque(maxlen=self.LATENCY_WINDOW)})
             s['count'] += 1
             if not ok:
                 s['errors'] += 1
             s['total_sec'] += seconds
             s['max_sec'] = max(s['max_sec'], seconds)
+            s['recent'].append(seconds)
 
     def metrics(self) -> Dict:
-        """Per-endpoint request counters + device-round totals
-        (GET /metrics)."""
+        """Per-endpoint request counters + latency percentiles (p50/p95/p99
+        over the last ``LATENCY_WINDOW`` requests) + coalescer queue depth
+        and device-round totals (GET /metrics)."""
         with self._stats_lock:
             out = {}
             for ep, s in self._stats.items():
-                out[ep] = {
+                row = {
                     'count': s['count'], 'errors': s['errors'],
                     'mean_sec': round(s['total_sec'] / max(s['count'], 1), 4),
                     'max_sec': round(s['max_sec'], 4),
                 }
-        rounds = {name: coal.rounds for name, coal in
-                  (('ab', self.ab_coal), ('nano', self.nano_coal))
-                  if coal is not None}
-        return {'endpoints': out, 'device_rounds': rounds}
+                if s['recent']:
+                    lat = np.asarray(s['recent'], np.float64)
+                    p50, p95, p99 = np.percentile(lat, [50, 95, 99])
+                    row.update(p50_sec=round(float(p50), 4),
+                               p95_sec=round(float(p95), 4),
+                               p99_sec=round(float(p99), 4))
+                out[ep] = row
+        coalescers = {name: {'rounds': coal.rounds,
+                             'queue_rows': coal.queue_rows,
+                             'max_queue_rows': coal.max_queue_rows}
+                      for name, coal in (('ab', self.ab_coal),
+                                         ('nano', self.nano_coal))
+                      if coal is not None}
+        rounds = {name: c['rounds'] for name, c in coalescers.items()}
+        return {'endpoints': out, 'device_rounds': rounds,
+                'coalescers': coalescers}
 
 
 def make_handler(service: HumanizationService):
