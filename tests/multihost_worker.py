@@ -61,5 +61,43 @@ with open(os.path.join(out_dir, 'metrics.jsonl')) as f:
             rows.append(row['val/loss'])
 assert rows, 'no val rows logged'
 ckpts = glob.glob(os.path.join(out_dir, 'checkpoints', 'step_*.json'))
+
+# --- one packed sampling round across both processes (round-3 VERDICT
+# next #9): the candidate batch is sharded over the global 'data' axis
+# spanning the two processes, and the sampled tokens must be IDENTICAL to
+# a single-device run of the same program (sharding changes where the
+# tokens are computed, never what they are). Each worker checks its own
+# addressable shard against the locally computed full-batch reference.
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from hudiff_tpu import constants as C  # noqa: E402
+from hudiff_tpu.models.denoiser import NanoAntiTFNet, nano_config  # noqa: E402
+from hudiff_tpu.parallel.mesh import make_mesh  # noqa: E402
+from hudiff_tpu.sampling import sampler as S  # noqa: E402
+
+scfg = nano_config().test_size()
+smodel = NanoAntiTFNet(scfg)
+B, L = 8, C.HEAVY_LEN
+tokens = jnp.full((B, L), C.IDX_MSK, jnp.int32)
+region = jnp.zeros((B, L), jnp.int32)
+sparams = smodel.init(jax.random.PRNGKey(0), tokens[:1], region[:1])
+order = S.build_order(np.arange(0, 12), B, rng=jax.random.PRNGKey(1))
+srng = jax.random.PRNGKey(2)
+
+# single-device reference, computed independently on each process
+run1 = S.make_jit_sampler(smodel, sparams, has_chain_type=False)
+ref = np.asarray(run1(tokens, region, order, srng))
+
+mesh = make_mesh(model_axis=1)  # ('data'=2*nproc, 'model'=1), cross-process
+assert mesh.shape['data'] == 2 * nproc
+runN = S.make_jit_sampler(smodel, sparams, has_chain_type=False, mesh=mesh)
+outN = runN(tokens, region, order, srng)
+shard_ok = all(
+    np.array_equal(np.asarray(sh.data), ref[sh.index[0]])
+    for sh in outN.addressable_shards)
+n_local = sum(sh.data.shape[0] for sh in outN.addressable_shards)
+
 print(f'MULTIHOST_RESULT pid={pid} val_loss={rows[-1]:.10f} '
-      f'ckpts={len(ckpts)}', flush=True)
+      f'ckpts={len(ckpts)} sample_ok={int(shard_ok)} '
+      f'sample_local_rows={n_local}', flush=True)

@@ -1,0 +1,59 @@
+"""Dataset-scale demo-checkpoint eval report (round-3 VERDICT next #5).
+
+examples/demo_ab_eval.json is the committed output of running the full
+pipeline over ALL HuAb348 mouse pairs with the shipped demo_ab_tiny
+checkpoint:
+
+    python -m hudiff_tpu.sampling.humanize ab --ckpt examples/demo_ab_tiny \
+        --data-fpath .../humanization_pair_data_filter.csv \
+        --batch-size 16 --pack-size 256 --seed 2023
+    python -m hudiff_tpu.eval.harness ab --sample-csv <out> \
+        --pair-csv .../humanization_pair_data_filter.csv \
+        --out examples/demo_ab_eval.json
+
+This test pins that report with tolerance bands so a regression in the
+sampler, numbering, eval pairing, or the checkpoint itself shows up as a
+failing band — replacing the one-antibody anecdote the round-3 verdict
+flagged (weak #5). Bands are anchored to the measured dataset statistics:
+mouse germline FR identity H 0.732 / L 0.767 and experimentally-humanized
+H 0.895 / L 0.901 (COMPONENTS.md, n=348); a humanizing checkpoint must
+land strictly between them.
+"""
+import json
+import os
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REPORT = os.path.join(HERE, 'examples', 'demo_ab_eval.json')
+
+
+def test_demo_eval_report_bands():
+    with open(REPORT) as f:
+        r = json.load(f)
+    # coverage: the whole mouse set, name-keyed pairing, nothing silently
+    # dropped beyond the one unalignable pair
+    assert r['n_samples'] >= 340
+    assert r['n_matched'] >= 340
+    assert r['pairing'] == 'order_name'
+    assert r['n_skipped_unmatched'] == 0
+    assert r['n_skipped_unaligned'] <= 2
+
+    # germline FR identity: strictly above the mouse baseline, below the
+    # experimental-humanized ceiling (tiny demo model, 600 train steps)
+    assert 0.78 <= r['germline_fr_identity_h'] <= 0.90
+    assert 0.80 <= r['germline_fr_identity_l'] <= 0.92
+
+    # preservation vs the parental mouse: the FR resampling changes
+    # residues (else it's a no-op) but must not destroy the chain
+    assert 0.70 <= r['preservation_all_h'] <= 0.88
+    assert 0.70 <= r['preservation_all_l'] <= 0.88
+
+    # agreement with the experimentally humanized antibody is higher than
+    # raw mouse preservation (the model moves TOWARD the human target)
+    assert r['exp_preservation_all_h'] > r['preservation_all_h']
+    assert r['exp_preservation_all_l'] > r['preservation_all_l']
+
+    # mutation precision: the fraction of model FR mutations that match
+    # the experimental humanization decision must beat a random-mutation
+    # floor (~0.2 given ~20% of FR positions differ mouse->human)
+    assert r['fr_mutation_precision_h'] >= 0.30
+    assert r['fr_mutation_precision_l'] >= 0.30

@@ -46,12 +46,20 @@ def test_two_process_pretrain_step(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f'worker failed:\n{out[-4000:]}'
     losses = {}
+    local_rows = 0
     for out in outs:
         m = re.search(r'MULTIHOST_RESULT pid=(\d) val_loss=([0-9.]+) '
-                      r'ckpts=(\d+)', out)
+                      r'ckpts=(\d+) sample_ok=(\d) sample_local_rows=(\d+)',
+                      out)
         assert m, f'no result line:\n{out[-4000:]}'
         losses[int(m.group(1))] = m.group(2)
         assert int(m.group(3)) >= 1  # best-val checkpoint written
+        # packed sampling round across the 2 processes: every process'
+        # addressable shards must equal the single-device run's rows
+        # (round-3 VERDICT next #9 — sharding changes where, never what)
+        assert int(m.group(4)) == 1
+        local_rows += int(m.group(5))
     assert set(losses) == {0, 1}
+    assert local_rows == 8  # the global candidate batch, split across hosts
     # the val loss is a global reduction -> bit-identical across processes
     assert losses[0] == losses[1]
