@@ -39,13 +39,15 @@ _T975 = {1: float('nan'), 2: 12.706, 3: 4.303, 4: 3.182, 5: 2.776,
 
 
 def mean_ci(vals):
-    """(mean, 95% CI half-width) over independent seed-level values."""
+    """(mean, 95% CI half-width) over independent seed-level values.
+    For >10 seeds the df=9 quantile (2.262) is kept as a conservative cap
+    rather than dropping to the anti-conservative z=1.96."""
     v = np.asarray(vals, np.float64)
     n = len(v)
     m = float(v.mean())
     if n < 2:
         return m, float('nan')
-    hw = _T975.get(n, 1.96) * float(v.std(ddof=1)) / np.sqrt(n)
+    hw = _T975.get(n, _T975[10]) * float(v.std(ddof=1)) / np.sqrt(n)
     return m, float(hw)
 
 
@@ -115,17 +117,16 @@ def load_mice(n_mice: int):
     return mice
 
 
-def eval_one_setting(model, params, mice, k: int, seed: int,
-                     rows_per_mouse: int, device_batch: int):
-    """Humanize every mouse (best-of-rows_per_mouse) at one (k, seed);
+def eval_one_setting(hum, mice, seed: int, rows_per_mouse: int):
+    """Humanize every mouse (best-of-rows_per_mouse) on a shared per-k
+    humanizer (re-seeded per call, so seeds reuse the compiled sampler);
     return per-metric means over mice."""
+    import jax
+
     from hudiff_tpu import constants as C
     from hudiff_tpu.numbering import germline as G
-    from hudiff_tpu.sampling import humanize as H
 
-    hum = H.PairHumanizer(model, params, batch_size=rows_per_mouse,
-                          device_batch=device_batch, seed=seed,
-                          positions_per_step=k)
+    hum.rng = jax.random.PRNGKey(seed)
     results = hum.humanize_many([inp for _, inp in mice],
                                 rows_per_input=rows_per_mouse)
     prot = np.concatenate([C.HEAVY_CDR_INDEX, C.LIGHT_CDR_INDEX]) != 0
@@ -163,6 +164,10 @@ def main():
     p.add_argument('--ks', default='1,2,4,8')
     args = p.parse_args()
 
+    from hudiff_tpu.sampling import humanize as H
+    from hudiff_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     model, params = train_tiny(args.train_steps)
     mice = load_mice(args.n_mice)
     print(f'mice: {len(mice)}', file=sys.stderr)
@@ -172,10 +177,14 @@ def main():
     # per_seed[k][seed] -> metric dict
     per_seed = {k: {} for k in ks}
     for k in ks:
+        # ONE humanizer (= one jitted sampler) per k; seeds re-seed its rng
+        # instead of rebuilding + recompiling it per (k, seed)
+        hum = H.PairHumanizer(model, params, batch_size=args.rows_per_mouse,
+                              device_batch=args.device_batch,
+                              positions_per_step=k)
         for seed in seeds:
-            per_seed[k][seed] = eval_one_setting(
-                model, params, mice, k, seed, args.rows_per_mouse,
-                args.device_batch)
+            per_seed[k][seed] = eval_one_setting(hum, mice, seed,
+                                                 args.rows_per_mouse)
             print(f'k={k} seed={seed}: '
                   + ' '.join(f'{m}={per_seed[k][seed][m]:.4f}'
                              for m in METRICS), file=sys.stderr)
