@@ -47,23 +47,30 @@ def test_supervisor_emits_error_json_when_inner_hangs():
 
 
 @pytest.mark.slow
-def test_pretrain_child_json_includes_fed_pipeline():
-    """The --pretrain-json child (tiny config) must report both the
-    synthetic steady-state rate and the FED rate through
-    RecordStore -> batch_iterator -> device_feed (round-3 VERDICT weak #6:
-    the input pipeline was never benchmarked)."""
-    res = _run(['--pretrain-json', '4'], {
+def test_child_json_includes_fed_pipeline_and_nano_finetune():
+    """The --child-json child (tiny config) must report the pretrain
+    synthetic steady-state rate, the FED rate through RecordStore ->
+    batch_iterator -> device_feed (round-3 VERDICT weak #6), and the nano
+    fine-tune step rate (round-4 VERDICT next #3: the 3-AbNatiV-forward
+    fine-tune hot path was never benchmarked)."""
+    res = _run(['--child-json', '4', '4'], {
         'HUDIFF_BENCH_TINY': '1',
     }, timeout=600)
     assert res.returncode == 0, res.stderr[-2000:]
     parsed = _last_json(res.stdout)
     assert 'error' not in parsed, parsed
-    assert parsed['batch'] == 4
-    assert parsed['steps_per_sec'] > 0
-    fed = parsed['fed']
+    pre = parsed['pretrain_step']
+    assert 'error' not in pre, pre
+    assert pre['batch'] == 4
+    assert pre['steps_per_sec'] > 0
+    fed = pre['fed']
     assert 'error' not in fed, fed
     assert fed['steps_per_sec'] > 0
     assert fed['n_steps'] == 50
     # the fed pipeline must at least run; the >=0.95-of-synthetic target is
     # asserted on TPU numbers, not CPU CI (CPU steps are host-bound anyway)
     assert 0 < fed['of_synthetic_rate']
+    ft = parsed['nano_finetune_step']
+    assert 'error' not in ft, ft
+    assert ft['batch'] == 4
+    assert ft['steps_per_sec'] > 0
