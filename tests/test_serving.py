@@ -199,8 +199,14 @@ def test_coalescer_tail_latency_bound():
     inp = {'positions': np.arange(3), 'pad_to': 8}
     n = 32
     lat = [None] * n
+    # pre-stage the burst behind a barrier: every thread is spawned and
+    # ready BEFORE any submit, so thread-start jitter on a loaded CI host
+    # cannot straggle arrivals past the coalescing window (advisor
+    # finding: without this, >=16-of-32-in-50ms was a timing assumption)
+    ready = _t.Barrier(n)
 
     def call(i):
+        ready.wait(10)
         t0 = _time.monotonic()
         coal.submit(inp, 1)
         lat[i] = _time.monotonic() - t0
