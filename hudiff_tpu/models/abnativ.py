@@ -286,7 +286,14 @@ def nativeness_scores_seq(output: Dict[str, jnp.ndarray], model_type: str
 
 def convert_torch_abnativ(ckpt: dict) -> Dict[str, Any]:
     """-> {'hp': AbNatiVParams, 'variables': flax params}."""
-    hp = AbNatiVParams.from_dict(ckpt.get('hyper_parameters', ckpt.get('hparams', {})))
+    hp_dict = ckpt.get('hyper_parameters', ckpt.get('hparams', {}))
+    # the released lightning .ckpt files nest the dict one level deeper:
+    # ckpt['hyper_parameters']['hparams'] (reference abnativ_scoring.py:284-287,
+    # nanofinetune.py:31-34) — unwrap so real hparams are read instead of
+    # silently falling back to the dataclass defaults
+    if 'hparams' in hp_dict:
+        hp_dict = hp_dict['hparams']
+    hp = AbNatiVParams.from_dict(hp_dict)
     sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, 'detach') else v)
           for k, v in ckpt['state_dict'].items()}
     p: dict = {}

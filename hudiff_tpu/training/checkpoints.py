@@ -289,6 +289,43 @@ def convert_torch_denoiser(state_dict: dict, pair: bool = True,
     return {'params': c.out}
 
 
+def _ensure_unpickle_shims() -> None:
+    """Released reference checkpoints carry pickled ``easydict.EasyDict``
+    config objects (reference antibody_train.py:4 + :342 — the YAML config
+    is wrapped in EasyDict before being stored in every ``torch.save``
+    payload), so unpickling needs that class importable. When the easydict
+    package is absent, register a pickle-compatible shim: a dict subclass
+    with attribute access under the same module path and class name."""
+    import sys
+    import types
+    try:
+        import easydict  # noqa: F401 - real package wins when present
+        return
+    except ImportError:
+        pass
+    if 'easydict' in sys.modules:
+        return
+
+    class EasyDict(dict):
+        """Pickle-compatible stand-in for easydict.EasyDict."""
+
+        def __getattr__(self, key):
+            try:
+                return self[key]
+            except KeyError as e:
+                raise AttributeError(key) from e
+
+        def __setattr__(self, key, value):
+            self[key] = value
+
+    EasyDict.__module__ = 'easydict'
+    EasyDict.__qualname__ = 'EasyDict'  # pickle resolves module+qualname
+    mod = types.ModuleType('easydict')
+    mod.EasyDict = EasyDict
+    sys.modules['easydict'] = mod
+
+
 def load_torch_checkpoint(path: str) -> dict:
     import torch
+    _ensure_unpickle_shims()
     return torch.load(path, map_location='cpu', weights_only=False)
