@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from .. import constants as C
 from ..ops import losses as L
 from ..ops import scheme_transfer as ST
+from ..utils.prng import rbg_dropout_key
 from . import abnativ as AB
 
 
@@ -83,7 +84,7 @@ def make_nano_finetune_loss(infill_model, vh_model, vh_vars,
 
         logits = infill_model.apply(infill_params, src, region,
                                     deterministic=False,
-                                    rngs={'dropout': rng_drop})
+                                    rngs={'dropout': rbg_dropout_key(rng_drop)})
         st = ST.gumbel_straight_through(rng_gumbel, logits[..., : C.N_AA],
                                         cfg.temperature)          # [B,152,20]
         st21 = jnp.concatenate(
@@ -159,7 +160,7 @@ def make_ab_finetune_loss(infill_model, vh_model, vh_vars, vlk_model, vlk_vars,
 
         logits = infill_model.apply(infill_params, src, region, chain,
                                     deterministic=False,
-                                    rngs={'dropout': rng_drop})
+                                    rngs={'dropout': rbg_dropout_key(rng_drop)})
         st = ST.gumbel_straight_through(rng_gumbel, logits[..., : C.N_AA],
                                         cfg.temperature)
         st21 = jnp.concatenate(

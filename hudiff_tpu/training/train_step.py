@@ -17,6 +17,7 @@ from flax import struct
 
 from .. import constants as C
 from ..ops import losses, masking
+from ..utils.prng import rbg_dropout_key  # re-exported; see utils/prng.py
 
 
 class TrainState(struct.PyTreeNode):
@@ -56,7 +57,8 @@ def heavy_region_batch(batch_size: int) -> np.ndarray:
 
 def make_pair_train_step(model, loss_type: str = 'merge', l_weight: float = 1.0,
                          mouse: bool = False,
-                         donate: bool = True) -> Callable:
+                         donate: bool = True,
+                         rbg_dropout: bool = True) -> Callable:
     """Returns jitted ``step(state, tokens, chain_type, rng) -> (state, metrics)``.
 
     tokens: [B, 291] clean grids; chain_type: [B, 2]; corruption happens inside.
@@ -75,6 +77,8 @@ def make_pair_train_step(model, loss_type: str = 'merge', l_weight: float = 1.0,
                                                 protect_pads=mouse)
         cdr_mask = jnp.broadcast_to(cdr_row != 0, tokens.shape)
         rng_mask, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
+        if rbg_dropout:
+            rng_drop = rbg_dropout_key(rng_drop)
         cor = masking.corrupt(rng_mask, tokens, protected)
 
         def loss_fn(params):
@@ -97,7 +101,8 @@ def make_pair_train_step(model, loss_type: str = 'merge', l_weight: float = 1.0,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_heavy_train_step(model, donate: bool = True) -> Callable:
+def make_heavy_train_step(model, donate: bool = True,
+                          rbg_dropout: bool = True) -> Callable:
     """Nanobody pretrain step: ``step(state, tokens, rng)`` on [B, 152] grids
     (reference nanobody_scripts/nanotrain.py:43-335)."""
     cdr_row = jnp.asarray(C.HEAVY_CDR_INDEX)
@@ -109,6 +114,8 @@ def make_heavy_train_step(model, donate: bool = True) -> Callable:
         protected = jnp.broadcast_to(cdr_row != 0, tokens.shape)
         cdr_mask = protected
         rng_mask, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
+        if rbg_dropout:
+            rng_drop = rbg_dropout_key(rng_drop)
         cor = masking.corrupt(rng_mask, tokens, protected)
 
         def loss_fn(params):
