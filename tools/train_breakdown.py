@@ -25,6 +25,11 @@ bench.py times, so the sweep explains the artifact number, not a proxy.
 
 Run: PYTHONPATH=/root/repo python tools/train_breakdown.py
 Env: HUDIFF_TB_SWEEP=128,256,512  HUDIFF_TB_PARTS_B=128  HUDIFF_TB_REPS=6
+     HUDIFF_TB_NANO=1 — roofline the NANO stack instead (NanoAntiTFNet at
+     nano_config: d=256/512, L=152, dropout 0.5 — the fine-tune step's
+     dominant cost; round-5 probe: the infill fwd+bwd is ~91% of the
+     B=512 nano fine-tune step, the three frozen AbNatiV forwards ~10 ms
+     each).
 """
 from __future__ import annotations
 
@@ -94,15 +99,28 @@ def _row(dt, flops, peak, B=None):
     return row
 
 
+NANO = os.environ.get('HUDIFF_TB_NANO') == '1'
+
+
 def build(B, dtype=jnp.bfloat16):
     from hudiff_tpu import constants as C
-    from hudiff_tpu.models.denoiser import AntiTFNet, DenoiserConfig
+    from hudiff_tpu.models.denoiser import (AntiTFNet, DenoiserConfig,
+                                            NanoAntiTFNet, nano_config)
     from hudiff_tpu.training import train_step as T
     from hudiff_tpu.utils.fast_init import fast_init
 
+    rs = np.random.RandomState(0)
+    if NANO:
+        cfg = nano_config()
+        model = NanoAntiTFNet(cfg, dtype=dtype)
+        tokens = jnp.asarray(rs.randint(0, C.N_AA, (B, C.HEAVY_LEN)),
+                             jnp.int32)
+        region = jnp.asarray(T.heavy_region_batch(B))
+        params = fast_init(model, jax.random.PRNGKey(0), tokens[:1],
+                           region[:1])
+        return model, params, tokens, region, None
     cfg = DenoiserConfig()
     model = AntiTFNet(cfg, dtype=dtype)
-    rs = np.random.RandomState(0)
     tokens = jnp.asarray(rs.randint(0, C.N_AA, (B, C.PAIR_LEN)), jnp.int32)
     chain = jnp.asarray(np.tile([[0, 2]], (B, 1)))
     region = jnp.asarray(T.pair_region_batch(B))
@@ -121,14 +139,22 @@ def bench_full_step(B, peak):
     tx = schedules.make_optimizer(Namespace({'type': 'Adam', 'lr': 1e-4}),
                                   clip_norm=10.0)
     state = T.TrainState.create(params, tx)
-    step = T.make_pair_train_step(model, loss_type='merge', donate=True)
-    compiled = step.lower(state, tokens, chain, jax.random.PRNGKey(1)).compile()
+    if NANO:
+        step = T.make_heavy_train_step(model, donate=True)
+        compiled = step.lower(state, tokens, jax.random.PRNGKey(1)).compile()
+    else:
+        step = T.make_pair_train_step(model, loss_type='merge', donate=True)
+        compiled = step.lower(state, tokens, chain,
+                              jax.random.PRNGKey(1)).compile()
     flops = _flops_of(compiled)
     # donated state chains call->call; vary rng per call
     holder = {'state': state}
 
     def call(rng):
-        holder['state'], m = compiled(holder['state'], tokens, chain, rng)
+        if NANO:
+            holder['state'], m = compiled(holder['state'], tokens, rng)
+        else:
+            holder['state'], m = compiled(holder['state'], tokens, chain, rng)
         return m['loss']
 
     wrapped_compiled = call
@@ -143,16 +169,22 @@ def bench_parts(B, peak):
     from hudiff_tpu import constants as C
 
     model, params, tokens, region, chain = build(B)
-    cdr_row = jnp.concatenate([jnp.asarray(C.HEAVY_CDR_INDEX),
-                               jnp.asarray(C.LIGHT_CDR_INDEX)])
-    cdr_mask = jnp.broadcast_to(cdr_row != 0, tokens.shape)
-    protected = masking.pair_protected_mask(tokens, cdr_row)
+    if NANO:
+        cdr_row = jnp.asarray(C.HEAVY_CDR_INDEX)
+        cdr_mask = jnp.broadcast_to(cdr_row != 0, tokens.shape)
+        protected = cdr_mask
+    else:
+        cdr_row = jnp.concatenate([jnp.asarray(C.HEAVY_CDR_INDEX),
+                                   jnp.asarray(C.LIGHT_CDR_INDEX)])
+        cdr_mask = jnp.broadcast_to(cdr_row != 0, tokens.shape)
+        protected = masking.pair_protected_mask(tokens, cdr_row)
     cor = masking.corrupt(jax.random.PRNGKey(3), tokens, protected)
     src, mask = cor.src, cor.mask
 
     def loss_fn(params, rng_drop, deterministic):
         kw = {} if deterministic else {'rngs': {'dropout': rng_drop}}
-        logits = model.apply(params, src, region, chain,
+        margs = (src, region) if NANO else (src, region, chain)
+        logits = model.apply(params, *margs,
                              deterministic=deterministic, **kw)
         m = losses.pair_oardm_loss(logits, tokens, mask, cdr_mask)
         return m['ce'] + m['cdr_ce']
@@ -211,10 +243,13 @@ def bench_parts(B, peak):
 def bench_stages(B, peak):
     """Per-stage fwd vs fwd+bwd: which stage's backward runs coldest."""
     from hudiff_tpu import constants as C
-    from hudiff_tpu.models.denoiser import (DenoiserConfig, SelfAttNet,
-                                            SplitConvTowers)
+    from hudiff_tpu.models.denoiser import (ByteNetStack, DenoiserConfig,
+                                            SelfAttNet, SplitConvTowers)
 
-    cfg = DenoiserConfig()
+    from hudiff_tpu.models.denoiser import nano_config
+
+    cfg = nano_config() if NANO else DenoiserConfig()
+    length = C.HEAVY_LEN if NANO else C.PAIR_LEN
     dtype = jnp.bfloat16
     rs = np.random.RandomState(1)
     key = jax.random.PRNGKey(0)
@@ -246,15 +281,27 @@ def bench_stages(B, peak):
                     jax.random.fold_in(jax.random.PRNGKey(11), i))),
                 _flops_of(c), peak)
 
-    x256 = jnp.asarray(rs.randn(B, C.PAIR_LEN, cfg.d_model), dtype)
-    measure('aa_towers', SplitConvTowers(
-        cfg.n_encoder_layers, cfg.d_model, cfg.aa_kernel_size, cfg.r,
-        cfg.activation, cfg.dropout), x256, True)
+    x256 = jnp.asarray(rs.randn(B, length, cfg.d_model), dtype)
+    if NANO:
+        # nano uses single ByteNet stacks, not the H/L split towers
+        measure('aa_towers', ByteNetStack(
+            cfg.n_encoder_layers, cfg.d_model, cfg.aa_kernel_size, cfg.r,
+            activation=cfg.activation, dropout=cfg.dropout, dtype=dtype),
+            x256, True)
+    else:
+        measure('aa_towers', SplitConvTowers(
+            cfg.n_encoder_layers, cfg.d_model, cfg.aa_kernel_size, cfg.r,
+            cfg.activation, cfg.dropout), x256, True)
 
-    x768 = jnp.asarray(rs.randn(B, C.PAIR_LEN, cfg.sum_d_model), dtype)
-    measure('dual_towers', SplitConvTowers(
-        cfg.dual_layers, cfg.sum_d_model, cfg.aa_kernel_size, cfg.r,
-        'relu', cfg.dropout), x768, True)
+    x768 = jnp.asarray(rs.randn(B, length, cfg.sum_d_model), dtype)
+    if NANO:
+        measure('dual_towers', ByteNetStack(
+            cfg.dual_layers, cfg.sum_d_model, cfg.aa_kernel_size, cfg.r,
+            activation='gelu', dropout=cfg.dropout, dtype=dtype), x768, True)
+    else:
+        measure('dual_towers', SplitConvTowers(
+            cfg.dual_layers, cfg.sum_d_model, cfg.aa_kernel_size, cfg.r,
+            'relu', cfg.dropout), x768, True)
 
     measure('self_att', SelfAttNet(
         cfg.sum_d_model, cfg.att_model, cfg.dim_feedforward, cfg.nhead,
@@ -265,22 +312,28 @@ def bench_stages(B, peak):
 def main():
     peak = _peak()
     result = {'device': jax.devices()[0].device_kind,
+              'stack': 'nano' if NANO else 'pair',
               'bf16_peak_tflops': peak, 'n_rep': N_REP}
 
-    sweep = [int(b) for b in os.environ.get(
-        'HUDIFF_TB_SWEEP', '128,256,512').split(',') if b]
-    result['step_sweep'] = {}
-    for b in sweep:
-        result['step_sweep'][str(b)] = bench_full_step(b, peak)
-        print(f'step B={b}: {json.dumps(result["step_sweep"][str(b)])}',
-              file=sys.stderr, flush=True)
+    sections = os.environ.get('HUDIFF_TB_SECTIONS',
+                              'sweep,parts,stages').split(',')
+    if 'sweep' in sections:
+        sweep = [int(b) for b in os.environ.get(
+            'HUDIFF_TB_SWEEP', '128,256,512').split(',') if b]
+        result['step_sweep'] = {}
+        for b in sweep:
+            result['step_sweep'][str(b)] = bench_full_step(b, peak)
+            print(f'step B={b}: {json.dumps(result["step_sweep"][str(b)])}',
+                  file=sys.stderr, flush=True)
 
     parts_b = int(os.environ.get('HUDIFF_TB_PARTS_B', 128))
-    result['parts_B%d' % parts_b] = bench_parts(parts_b, peak)
-    print(f'parts: {json.dumps(result["parts_B%d" % parts_b])}',
-          file=sys.stderr, flush=True)
+    if 'parts' in sections:
+        result['parts_B%d' % parts_b] = bench_parts(parts_b, peak)
+        print(f'parts: {json.dumps(result["parts_B%d" % parts_b])}',
+              file=sys.stderr, flush=True)
 
-    result['stages_B%d' % parts_b] = bench_stages(parts_b, peak)
+    if 'stages' in sections:
+        result['stages_B%d' % parts_b] = bench_stages(parts_b, peak)
     print(json.dumps(result, indent=2))
 
 
