@@ -678,15 +678,17 @@ def _bench_tp_smoke(B: int):
     _log('tp smoke: compile + equality check done')
     n_rep = 10
     # vary the input each rep: the tunnel's run cache keys on (executable,
-    # args) and would otherwise short-circuit repeats
-    qkvs = [qkv + jnp.bfloat16(i * 1e-3) for i in range(n_rep)]
+    # args) and would otherwise short-circuit repeats. n_rep+1 distinct
+    # inputs so BOTH loops warm on an input their timed reps never reuse
+    qkvs = [qkv + jnp.bfloat16((i + 1) * 1e-3) for i in range(n_rep + 1)]
     jax.block_until_ready(qkvs)
-    jax.block_until_ready(f_tp(qkvs[0]))
+    jax.block_until_ready(f_tp(qkvs[n_rep]))
     t0 = time.perf_counter()
     for i in range(n_rep):
         out = f_tp(qkvs[i])
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n_rep
+    jax.block_until_ready(f_ref(qkvs[n_rep]))
     t0 = time.perf_counter()
     for i in range(n_rep):
         out = f_ref(qkvs[i])

@@ -341,7 +341,9 @@ def extend_library_from_fasta(path: str) -> int:
                 fields = line[1:].split('|')
                 if len(fields) >= 4:  # IMGT/GENE-DB header
                     name = fields[1].strip()
-                    if fields[3].strip().rstrip(')').lstrip('(') != 'F':
+                    # functionality may be annotated '(F)' (by cloning) or
+                    # '[F]' (by comparison) in IMGT/GENE-DB headers
+                    if fields[3].strip().strip('()[]') != 'F':
                         name = None  # pseudogene / ORF: skip
                 else:
                     name = fields[0].split()[0]
@@ -364,8 +366,14 @@ def _maybe_load_env_fasta() -> None:
     _ENV_FASTA_LOADED = True
     import os
     path = os.environ.get('HUDIFF_GERMLINE_FASTA')
-    if path and os.path.exists(path):
+    if not path:
+        return
+    if os.path.exists(path):
         extend_library_from_fasta(path)
+    else:
+        import warnings
+        warnings.warn(f'HUDIFF_GERMLINE_FASTA={path!r} does not exist; '
+                      'falling back to the curated germline library')
 
 
 # Representative CDR3 stub + J FR4 appended when gridding library V genes:
@@ -427,6 +435,21 @@ def v_gene_scores(grid: np.ndarray, group: str) -> Dict[str, float]:
     return scores
 
 
+def group_allele_scores(allele_scores: Dict[str, float],
+                        exclude: frozenset = frozenset()) -> Dict[str, float]:
+    """Fold per-allele scores into per-GENE max (the one grouping rule,
+    shared with tools/germline_margin.py). ``exclude``: allele names to
+    leave out (the margin study's before/after comparison)."""
+    out: Dict[str, float] = {}
+    for name, s in allele_scores.items():
+        if name in exclude:
+            continue
+        g = gene_of(name)
+        if s > out.get(g, -1.0):
+            out[g] = s
+    return out
+
+
 def gene_scores(grid: np.ndarray, group: str) -> Dict[str, float]:
     """FR1-FR3 identity per GENE = max over that gene's library alleles.
 
@@ -434,12 +457,7 @@ def gene_scores(grid: np.ndarray, group: str) -> Dict[str, float]:
     alleles of one gene in the library, ranking raw allele scores would
     report a same-gene allele pair as a 'margin', which is not a selection
     ambiguity at all."""
-    out: Dict[str, float] = {}
-    for name, s in v_gene_scores(grid, group).items():
-        g = gene_of(name)
-        if s > out.get(g, -1.0):
-            out[g] = s
-    return out
+    return group_allele_scores(v_gene_scores(grid, group))
 
 
 def nearest_v(grid: np.ndarray, group: str) -> Tuple[str, np.ndarray]:

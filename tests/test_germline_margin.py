@@ -33,10 +33,11 @@ def test_artifact_schema_and_bounds():
         assert s['frac_margin_gt_4res'] <= s['frac_margin_gt_2res']
         assert s['margin_residues']['min'] >= 0
         assert 70 <= s['mean_fr_slots'] <= 90
-        # allele breadth can only tighten (or keep) the >2-residue fraction:
-        # a new allele raises its own gene's score, never a margin
-        assert (s['frac_margin_gt_2res']
-                <= s['before_r5']['frac_margin_gt_2res'] + 1e-9)
+        # allele breadth moves margins BOTH ways (a new allele of the
+        # winning gene widens that chain's margin; of a runner-up gene,
+        # narrows it) — so bound the drift, don't assert a direction
+        assert abs(s['frac_margin_gt_2res']
+                   - s['before_r5']['frac_margin_gt_2res']) <= 0.05
         assert s['r5_alleles']['identity_gain_pts']['mean'] >= 0
     # H + K cover the bulk of the 696-pair dataset
     assert art['H']['n_chains'] + art['K']['n_chains'] >= 1300
@@ -64,6 +65,9 @@ def test_extend_library_from_fasta(tmp_path):
         # pseudogene -> skipped
         f'>X00002|IGHV3-7*92|Homo sapiens|P|V-REGION|1..294|98 nt|1|||\n'
         f'{variant}\n'
+        # functional-by-comparison '[F]' (real IMGT/GENE-DB form) -> taken
+        f'>X00004|IGHV3-7*94|Homo sapiens|[F]|V-REGION|1..294|98 nt|1|||\n'
+        f'{variant}\n'
         # duplicate of an embedded allele name -> skipped
         f'>IGHV3-7*01\n{base}\n'
         # plain header, taken
@@ -71,9 +75,10 @@ def test_extend_library_from_fasta(tmp_path):
     before = set(G.GERMLINE_V_HEAVY)
     added = G.extend_library_from_fasta(str(fasta))
     try:
-        assert added == 2
+        assert added == 3
         assert set(G.GERMLINE_V_HEAVY) - before == {'IGHV3-7*91',
-                                                    'IGHV3-7*93'}
+                                                    'IGHV3-7*93',
+                                                    'IGHV3-7*94'}
         # the new allele is live in scoring: its own sequence scores 1.0
         placed = IMGT.grid_string(variant + 'DYW' + 'GQGTLVTVSS',
                                   heavy=True, chain_hint='H')
@@ -83,7 +88,7 @@ def test_extend_library_from_fasta(tmp_path):
         gs = G.gene_scores(np.asarray(list(placed['grid'])), 'H')
         assert gs['IGHV3-7'] == 1.0
     finally:
-        for name in ('IGHV3-7*91', 'IGHV3-7*93'):
+        for name in ('IGHV3-7*91', 'IGHV3-7*93', 'IGHV3-7*94'):
             G.GERMLINE_V_HEAVY.pop(name, None)
         G._GRID_CACHE.pop('H', None)
 

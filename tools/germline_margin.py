@@ -49,15 +49,9 @@ ADDED_R5 = frozenset({'IGHV3-23*04', 'IGKV3D-20*01', 'IGKV2D-29*01',
 
 
 def _gene_scores(allele_scores, exclude=frozenset()):
+    # one grouping rule, owned by the library (review: no second copy)
     from hudiff_tpu.numbering import germline as G
-    out = {}
-    for name, s in allele_scores.items():
-        if name in exclude:
-            continue
-        g = G.gene_of(name)
-        if s > out.get(g, -1.0):
-            out[g] = s
-    return out
+    return G.group_allele_scores(allele_scores, exclude=exclude)
 
 
 def _top2(scores):

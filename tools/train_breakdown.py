@@ -291,7 +291,7 @@ def bench_stages(B, peak):
     else:
         measure('aa_towers', SplitConvTowers(
             cfg.n_encoder_layers, cfg.d_model, cfg.aa_kernel_size, cfg.r,
-            cfg.activation, cfg.dropout), x256, True)
+            cfg.activation, cfg.dropout, dtype=dtype), x256, True)
 
     x768 = jnp.asarray(rs.randn(B, length, cfg.sum_d_model), dtype)
     if NANO:
@@ -301,7 +301,7 @@ def bench_stages(B, peak):
     else:
         measure('dual_towers', SplitConvTowers(
             cfg.dual_layers, cfg.sum_d_model, cfg.aa_kernel_size, cfg.r,
-            'relu', cfg.dropout), x768, True)
+            'relu', cfg.dropout, dtype=dtype), x768, True)
 
     measure('self_att', SelfAttNet(
         cfg.sum_d_model, cfg.att_model, cfg.dim_feedforward, cfg.nhead,
