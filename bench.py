@@ -127,6 +127,22 @@ def _compiled_flops(compiled):
     return None
 
 
+def _denoiser_step_flops(compiled, cfg, B: int, kind: str):
+    """cost_analysis flops + the matmul FLOPs XLA cannot see inside the
+    fused Pallas kernels (utils/flops.py — cost analysis reports ~0 for
+    Mosaic custom calls, so without the add-back a *more* fused step would
+    report a *lower* MFU). Train-step accounting: non-deterministic trace,
+    fwd+bwd."""
+    flops = _compiled_flops(compiled)
+    if flops is None:
+        return None
+    from hudiff_tpu.utils.flops import denoiser_pallas_flops, pallas_active
+    if pallas_active():
+        flops += denoiser_pallas_flops(cfg, B, kind=kind,
+                                       deterministic=False, backward=True)
+    return flops
+
+
 def _rate_fields(out: dict, B: int, dt: float, flops) -> dict:
     out.update({'batch': B, 'steps_per_sec': round(1.0 / dt, 3),
                 'seqs_per_sec': round(B / dt, 1),
@@ -182,7 +198,7 @@ def _pretrain_prepare(B: int):
     _log('pretrain: compile done')
     return {'compiled': compiled, 'state': state, 'tokens': tokens,
             'chain': chain, 'rng': rng, 'B': B,
-            'flops': _compiled_flops(compiled)}
+            'flops': _denoiser_step_flops(compiled, cfg, B, 'pair')}
 
 
 def _pretrain_timed(prep, gate_timed_out: bool):
@@ -277,7 +293,7 @@ def _nano_finetune_prepare(B: int):
     _log('nano-finetune: compile done')
     return {'compiled': compiled, 'state': state, 'tokens': tokens,
             'aho': aho, 'rng': rng, 'B': B,
-            'flops': _compiled_flops(compiled)}
+            'flops': _denoiser_step_flops(compiled, cfg, B, 'heavy')}
 
 
 def _nano_finetune_timed(prep, gate_timed_out: bool):

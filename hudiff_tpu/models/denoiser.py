@@ -183,6 +183,7 @@ class SplitConvTowers(nn.Module):
     activation: str
     dropout: float
     dtype: jnp.dtype = jnp.float32
+    use_pallas: str = 'never'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
@@ -191,10 +192,26 @@ class SplitConvTowers(nn.Module):
         stack = lambda name: ByteNetStack(
             n_layers=self.n_layers, d_model=self.d_model,
             kernel_size=self.kernel_size, r=self.r, activation=self.activation,
-            dropout=self.dropout, dtype=self.dtype, name=name)
+            dropout=self.dropout, dtype=self.dtype,
+            use_pallas=self.use_pallas, name=name)
         h = stack('h_tower')(h, deterministic=deterministic)
         l = stack('l_tower')(l, deterministic=deterministic)
         return jnp.concatenate([h, l], axis=1)
+
+
+def conv_pallas_policy(use_pallas: str, d_model: int,
+                       deterministic: bool) -> str:
+    """Routing for the fused ByteNet kernel, from v5e measurements at each
+    production tower shape (docs/perf.md "fused ByteNet", d_model/d_h at
+    L=152, B=128): 256/128 wins fused both ways (1.05x fwd, 1.33x fwd+bwd),
+    512/256 wins both ways (1.50x fwd, 1.48x fwd+bwd), 768/384 wins the
+    forward (1.04x) but loses the backward (0.85x — XLA's backward matmuls
+    already run near roofline at that width). So towers up to d=512 follow
+    ``use_pallas`` everywhere; the d=768 pair dual towers follow it only on
+    forward-only (deterministic) traces — i.e. sampling and eval."""
+    if d_model > 512 and not deterministic:
+        return 'never'
+    return use_pallas
 
 
 class AntiTFNet(nn.Module):
@@ -223,6 +240,8 @@ class AntiTFNet(nn.Module):
         emb = SplitConvTowers(
             cfg.n_encoder_layers, cfg.d_model, cfg.aa_kernel_size, cfg.r,
             cfg.activation, cfg.dropout, dtype=self.dtype,
+            use_pallas=conv_pallas_policy(self.use_pallas, cfg.d_model,
+                                          deterministic),
             name='aa_encoder')(emb, deterministic=deterministic)
 
         side = SideEmbedder(cfg.n_side, cfg.s_embedding, cfg.s_model,
@@ -239,6 +258,8 @@ class AntiTFNet(nn.Module):
         feature = SplitConvTowers(
             cfg.dual_layers, cfg.sum_d_model, cfg.aa_kernel_size, cfg.r,
             'relu', cfg.dropout, dtype=self.dtype,
+            use_pallas=conv_pallas_policy(self.use_pallas, cfg.sum_d_model,
+                                          deterministic),
             name='dual_conv')(feature, deterministic=deterministic)
 
         feature = SelfAttNet(cfg.sum_d_model, cfg.att_model, cfg.dim_feedforward,
@@ -267,7 +288,10 @@ class NanoAntiTFNet(nn.Module):
                        dtype=self.dtype, name='aa_embed')(tokens)
         emb = ByteNetStack(cfg.n_encoder_layers, cfg.d_model, cfg.aa_kernel_size,
                            cfg.r, activation=cfg.activation, dropout=cfg.dropout,
-                           dtype=self.dtype, name='aa_encoder')(
+                           dtype=self.dtype,
+                           use_pallas=conv_pallas_policy(
+                               self.use_pallas, cfg.d_model, deterministic),
+                           name='aa_encoder')(
             emb, deterministic=deterministic)
 
         reg = RegionEmbedder(cfg.n_region, cfg.r_embedding, cfg.r_model,
@@ -279,6 +303,9 @@ class NanoAntiTFNet(nn.Module):
         feature = ByteNetStack(cfg.dual_layers, cfg.sum_d_model,
                                cfg.aa_kernel_size, cfg.r, activation='gelu',
                                dropout=cfg.dropout, dtype=self.dtype,
+                               use_pallas=conv_pallas_policy(
+                                   self.use_pallas, cfg.sum_d_model,
+                                   deterministic),
                                name='nano_conv')(feature,
                                                  deterministic=deterministic)
         feature = SelfAttNet(cfg.sum_d_model, cfg.att_model, cfg.dim_feedforward,

@@ -495,3 +495,21 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     o = fused_attention(to_bhld(q), to_bhld(k), to_bhld(v), scale,
                         interpret=interpret)
     return o.transpose(0, 2, 1, 3)
+
+
+def attention_matmul_flops(B: int, L: int, heads: int, head_dim: int,
+                           backward: bool = False) -> float:
+    """Executed MXU FLOPs of one fused RoPE-attention kernel call (XLA's
+    cost analysis reports ~0 for custom calls; utils/flops.py adds these
+    back for MFU accounting). Forward per head: 2 RoPE rotation matmuls
+    ([L,D]@[D,D]) + QK^T + PV ([L,D] x [L,L] shapes). Backward per head:
+    4 rotations (q/k recompute + dq/dk inverse) + 5 [L,L,D] matmuls
+    (st recompute, dv, dp, dq, dk). ``backward=True`` returns the total of
+    a fwd+bwd pass (the custom-vjp forward runs again under grad)."""
+    rot = 2.0 * L * head_dim * head_dim
+    big = 2.0 * L * L * head_dim
+    fwd = B * heads * (2 * rot + 2 * big)
+    if not backward:
+        return fwd
+    bwd = B * heads * (4 * rot + 5 * big)
+    return fwd + bwd

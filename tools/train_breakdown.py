@@ -10,7 +10,12 @@ decomposed the backward. This tool measures, on the real chip:
   2. parts at a fixed B — forward (eval), forward (train-mode dropout),
      forward+backward, forward+backward with dropout off, full step —
      so backward-only time/FLOPs and the dropout/RNG tax fall out by
-     subtraction;
+     subtraction. "Dropout off" keeps the train-mode trace and rebuilds the
+     model with dropout rate 0 (flipping ``deterministic`` would also flip
+     conv_pallas_policy's kernel routing); the hardcoded p=0.5 pos-MLP
+     dropout (embedders.py:27-31, one site of ~25) stays on. All rates are
+     MFU-corrected for fused Pallas kernels via utils/flops.py — XLA's
+     cost analysis reports ~0 FLOPs for Mosaic custom calls;
   3. per-stage fwd vs fwd+bwd — attention stack, dual towers, aa towers —
      to see which stage's backward runs furthest below its forward rate;
   4. PRNG impl probe — the same fwd+bwd with an 'rbg' dropout key instead of
@@ -59,6 +64,18 @@ def _flops_of(compiled):
         return float(ca.get('flops', 0.0)) or None
     except Exception:  # noqa: BLE001 - cost analysis is best-effort
         return None
+
+
+def _addback(flops, cfg, B, *, deterministic, backward):
+    """Add the matmul FLOPs executed inside fused Pallas kernels — XLA's
+    cost analysis reports ~0 for Mosaic custom calls, so without this a
+    *more* fused stage would report a *lower* MFU (utils/flops.py)."""
+    from hudiff_tpu.utils.flops import denoiser_pallas_flops, pallas_active
+    if flops is None or not pallas_active():
+        return flops
+    return flops + denoiser_pallas_flops(
+        cfg, B, kind='heavy' if NANO else 'pair',
+        deterministic=deterministic, backward=backward)
 
 
 def _peak():
@@ -146,7 +163,8 @@ def bench_full_step(B, peak):
         step = T.make_pair_train_step(model, loss_type='merge', donate=True)
         compiled = step.lower(state, tokens, chain,
                               jax.random.PRNGKey(1)).compile()
-    flops = _flops_of(compiled)
+    flops = _addback(_flops_of(compiled), model.cfg, B,
+                     deterministic=False, backward=True)
     # donated state chains call->call; vary rng per call
     holder = {'state': state}
 
@@ -181,59 +199,67 @@ def bench_parts(B, peak):
     cor = masking.corrupt(jax.random.PRNGKey(3), tokens, protected)
     src, mask = cor.src, cor.mask
 
-    def loss_fn(params, rng_drop, deterministic):
-        kw = {} if deterministic else {'rngs': {'dropout': rng_drop}}
-        margs = (src, region) if NANO else (src, region, chain)
-        logits = model.apply(params, *margs,
-                             deterministic=deterministic, **kw)
-        m = losses.pair_oardm_loss(logits, tokens, mask, cdr_mask)
-        return m['ce'] + m['cdr_ce']
+    # Train-mode routing with dropout genuinely off: rate-0 dropout under
+    # deterministic=False (rate==0 short-circuits, no rng draw). Flipping
+    # ``deterministic`` instead would also flip conv_pallas_policy's kernel
+    # routing on the d=768 towers and contaminate the dropout-tax
+    # subtraction with a kernel-path change.
+    import dataclasses
+    model_nodrop = type(model)(dataclasses.replace(model.cfg, dropout=0.0),
+                               dtype=jnp.bfloat16)
+
+    def make_loss(mod, deterministic):
+        def loss_fn(params, rng_drop):
+            kw = {} if deterministic else {'rngs': {'dropout': rng_drop}}
+            margs = (src, region) if NANO else (src, region, chain)
+            logits = mod.apply(params, *margs,
+                               deterministic=deterministic, **kw)
+            m = losses.pair_oardm_loss(logits, tokens, mask, cdr_mask)
+            return m['ce'] + m['cdr_ce']
+        return loss_fn
+
+    def make_vg(mod, deterministic):
+        loss_fn = make_loss(mod, deterministic)
+
+        def vg(p, r):
+            loss, grads = jax.value_and_grad(
+                lambda q: loss_fn(q, r))(p)
+            return loss, jax.tree_util.tree_reduce(
+                lambda a, g: a + jnp.sum(g.astype(jnp.float32) ** 2),
+                grads, 0.0)
+        return vg
 
     out = {}
+    cfg = model.cfg
+
+    def run(tag, fn, seed, *, det, bwd):
+        c = jax.jit(fn).lower(params, jax.random.PRNGKey(0)).compile()
+        out[tag] = _row(
+            _time_compiled(c, lambda i: (params, jax.random.fold_in(
+                jax.random.PRNGKey(seed), i))),
+            _addback(_flops_of(c), cfg, B, deterministic=det, backward=bwd),
+            peak)
 
     # forward, eval mode (dropout off) — the sampling unit of work
-    f = jax.jit(lambda p, r: loss_fn(p, r, True))
-    c = f.lower(params, jax.random.PRNGKey(0)).compile()
-    out['fwd_eval'] = _row(
-        _time_compiled(c, lambda i: (params, jax.random.fold_in(
-            jax.random.PRNGKey(4), i))), _flops_of(c), peak)
-
+    run('fwd_eval', make_loss(model, True), 4, det=True, bwd=False)
     # forward, train mode (dropout on)
-    f = jax.jit(lambda p, r: loss_fn(p, r, False))
-    c = f.lower(params, jax.random.PRNGKey(0)).compile()
-    out['fwd_train'] = _row(
-        _time_compiled(c, lambda i: (params, jax.random.fold_in(
-            jax.random.PRNGKey(5), i))), _flops_of(c), peak)
-
+    run('fwd_train', make_loss(model, False), 5, det=False, bwd=False)
     # forward+backward, train mode — grads kept alive via their global norm
-    def vg(p, r, det):
-        loss, grads = jax.value_and_grad(
-            lambda q: loss_fn(q, r, det))(p)
-        return loss, jax.tree_util.tree_reduce(
-            lambda a, g: a + jnp.sum(g.astype(jnp.float32) ** 2), grads, 0.0)
+    run('fwd_bwd_train', make_vg(model, False), 6, det=False, bwd=True)
+    # forward+backward, train routing, dropout rate 0 — the dropout+RNG tax
+    run('fwd_bwd_nodrop', make_vg(model_nodrop, False), 7, det=False,
+        bwd=True)
 
-    f = jax.jit(lambda p, r: vg(p, r, False))
-    c = f.lower(params, jax.random.PRNGKey(0)).compile()
-    out['fwd_bwd_train'] = _row(
-        _time_compiled(c, lambda i: (params, jax.random.fold_in(
-            jax.random.PRNGKey(6), i))), _flops_of(c), peak)
-
-    # forward+backward with dropout OFF — the dropout+RNG tax by subtraction
-    f = jax.jit(lambda p, r: vg(p, r, True))
-    c = f.lower(params, jax.random.PRNGKey(0)).compile()
-    out['fwd_bwd_nodrop'] = _row(
-        _time_compiled(c, lambda i: (params, jax.random.fold_in(
-            jax.random.PRNGKey(7), i))), _flops_of(c), peak)
-
-    # forward+backward, dropout on, RBG dropout key (same Bernoulli(0.8)
+    # forward+backward, dropout on, RBG dropout key (same Bernoulli
     # distribution, hardware RNG instead of threefry arithmetic)
     try:
-        f = jax.jit(lambda p, r: vg(p, r, False))
+        f = jax.jit(make_vg(model, False))
         rbg0 = jax.random.key(0, impl='rbg')
         c = f.lower(params, rbg0).compile()
         out['fwd_bwd_rbg'] = _row(
             _time_compiled(c, lambda i: (params, jax.random.fold_in(rbg0, i))),
-            _flops_of(c), peak)
+            _addback(_flops_of(c), cfg, B, deterministic=False,
+                     backward=True), peak)
     except Exception as e:  # noqa: BLE001 - impl availability varies
         out['fwd_bwd_rbg'] = {'error': str(e)[:200]}
 
@@ -248,14 +274,23 @@ def bench_stages(B, peak):
 
     from hudiff_tpu.models.denoiser import nano_config
 
+    from hudiff_tpu.models.denoiser import conv_pallas_policy
+    from hudiff_tpu.ops.pallas_bytenet import block_matmul_flops
+    from hudiff_tpu.ops.pallas_attention import attention_matmul_flops
+    from hudiff_tpu.utils.flops import pallas_active
+
     cfg = nano_config() if NANO else DenoiserConfig()
     length = C.HEAVY_LEN if NANO else C.PAIR_LEN
+    seg_lens = (C.HEAVY_LEN,) if NANO else (C.HEAVY_LEN, C.LIGHT_LEN)
     dtype = jnp.bfloat16
     rs = np.random.RandomState(1)
     key = jax.random.PRNGKey(0)
     out = {}
 
-    def measure(name, mod, x, needs_rng):
+    def measure(name, mod, x, needs_rng, pallas_flops=None):
+        """``pallas_flops(backward)``: per-stage fused-kernel FLOP add-back
+        (same rationale as _addback — the whole-model counter doesn't apply
+        to an isolated stage)."""
         p = mod.init(key, x[:1])
         kw = (lambda r: {'deterministic': False, 'rngs': {'dropout': r}}) \
             if needs_rng else (lambda r: {})
@@ -273,39 +308,62 @@ def bench_stages(B, peak):
                 lambda a, g: a + jnp.sum(g.astype(jnp.float32) ** 2),
                 grads, 0.0)
 
-        for tag, fn in (('fwd', fwd), ('fwd_bwd', fwd_bwd)):
+        for tag, fn, bwd in (('fwd', fwd, False), ('fwd_bwd', fwd_bwd, True)):
             c = jax.jit(fn).lower(p, x, key).compile()
+            flops = _flops_of(c)
+            if flops and pallas_flops and pallas_active():
+                flops += pallas_flops(bwd)
             out[f'{name}_{tag}'] = _row(
                 _time_compiled(c, lambda i: (
                     p, x + jnp.asarray(i * 1e-3, x.dtype),
                     jax.random.fold_in(jax.random.PRNGKey(11), i))),
-                _flops_of(c), peak)
+                flops, peak)
+
+    def conv_addback(d, n_layers):
+        # production training routing: the stage tool measures the
+        # non-deterministic trace, so wide pair towers run the XLA path
+        if conv_pallas_policy('auto', d, deterministic=False) == 'never':
+            return None
+        return lambda bwd: sum(
+            n_layers * block_matmul_flops(B, L, d, d // 2,
+                                          cfg.aa_kernel_size, backward=bwd)
+            for L in seg_lens)
 
     x256 = jnp.asarray(rs.randn(B, length, cfg.d_model), dtype)
     if NANO:
         # nano uses single ByteNet stacks, not the H/L split towers
         measure('aa_towers', ByteNetStack(
             cfg.n_encoder_layers, cfg.d_model, cfg.aa_kernel_size, cfg.r,
-            activation=cfg.activation, dropout=cfg.dropout, dtype=dtype),
-            x256, True)
+            activation=cfg.activation, dropout=cfg.dropout, dtype=dtype,
+            use_pallas=conv_pallas_policy('auto', cfg.d_model, False)),
+            x256, True, conv_addback(cfg.d_model, cfg.n_encoder_layers))
     else:
         measure('aa_towers', SplitConvTowers(
             cfg.n_encoder_layers, cfg.d_model, cfg.aa_kernel_size, cfg.r,
-            cfg.activation, cfg.dropout, dtype=dtype), x256, True)
+            cfg.activation, cfg.dropout, dtype=dtype,
+            use_pallas=conv_pallas_policy('auto', cfg.d_model, False)),
+            x256, True, conv_addback(cfg.d_model, cfg.n_encoder_layers))
 
+    dual_pallas = conv_pallas_policy('auto', cfg.sum_d_model, False)
     x768 = jnp.asarray(rs.randn(B, length, cfg.sum_d_model), dtype)
     if NANO:
         measure('dual_towers', ByteNetStack(
             cfg.dual_layers, cfg.sum_d_model, cfg.aa_kernel_size, cfg.r,
-            activation='gelu', dropout=cfg.dropout, dtype=dtype), x768, True)
+            activation='gelu', dropout=cfg.dropout, dtype=dtype,
+            use_pallas=dual_pallas), x768, True,
+            conv_addback(cfg.sum_d_model, cfg.dual_layers))
     else:
         measure('dual_towers', SplitConvTowers(
             cfg.dual_layers, cfg.sum_d_model, cfg.aa_kernel_size, cfg.r,
-            'relu', cfg.dropout, dtype=dtype), x768, True)
+            'relu', cfg.dropout, dtype=dtype, use_pallas=dual_pallas),
+            x768, True, conv_addback(cfg.sum_d_model, cfg.dual_layers))
 
+    head_dim = cfg.att_model // cfg.nhead
     measure('self_att', SelfAttNet(
         cfg.sum_d_model, cfg.att_model, cfg.dim_feedforward, cfg.nhead,
-        cfg.max_len, cfg.cs_layers, dtype=dtype), x768, False)
+        cfg.max_len, cfg.cs_layers, dtype=dtype), x768, False,
+        lambda bwd: 2 * cfg.cs_layers * attention_matmul_flops(
+            B, cfg.max_len, cfg.nhead, head_dim, backward=bwd))
     return out
 
 
