@@ -42,11 +42,18 @@ def _scan_time(body, x0, n_outer=3):
     return (time.perf_counter() - t0) / (n_outer * K)
 
 
-def _flops(fn, *args):
+def _flops(fn, *args, extra=0.0):
+    """XLA cost-analysis FLOPs + ``extra`` — the matmul FLOPs executed
+    inside fused Pallas kernels, which cost analysis reports as ~0
+    (utils/flops.py rationale). All stages here trace deterministic
+    (eval-mode) forwards, so every tower is fused on TPU."""
     try:
         cost = jax.jit(fn).lower(*args).compile().cost_analysis()
         ca = cost[0] if isinstance(cost, (list, tuple)) else cost
-        return float(ca.get('flops', 0.0)) or None
+        fl = float(ca.get('flops', 0.0)) or None
+        if fl and extra and jax.default_backend() == 'tpu':
+            fl += extra
+        return fl
     except Exception:  # noqa: BLE001
         return None
 
@@ -76,38 +83,51 @@ def main():
     # (exactly the sampling scan's data flow)
     model = AntiTFNet(cfg, dtype=dtype)
     params = model.init(key, tokens[:1], region[:1], chain[:1])
+    from hudiff_tpu.utils.flops import denoiser_pallas_flops
+    from hudiff_tpu.ops.pallas_bytenet import block_matmul_flops
+    from hudiff_tpu.ops.pallas_attention import attention_matmul_flops
+    full_extra = denoiser_pallas_flops(cfg, B, kind='pair',
+                                       deterministic=True, backward=False)
     stages['full_forward'] = (
         lambda t: jnp.argmax(
             model.apply(params, t, region, chain), -1
         ).astype(jnp.int32) % C.N_AA,
         tokens,
         lambda: _flops(lambda t: model.apply(params, t, region, chain),
-                       tokens))
+                       tokens, extra=full_extra))
 
     x_emb = jnp.asarray(rs.randn(B, C.PAIR_LEN, cfg.d_model), dtype)
     enc = SplitConvTowers(cfg.n_encoder_layers, cfg.d_model,
                           cfg.aa_kernel_size, cfg.r, cfg.activation,
-                          cfg.dropout, dtype=dtype)
+                          cfg.dropout, dtype=dtype, use_pallas='auto')
     p_enc = enc.init(key, x_emb[:1])
+    conv_extra = lambda d, n: sum(
+        n * block_matmul_flops(B, L, d, d // 2, cfg.aa_kernel_size)
+        for L in (C.HEAVY_LEN, C.LIGHT_LEN))
     stages['aa_conv_towers'] = (
         lambda x: enc.apply(p_enc, x), x_emb,
-        lambda: _flops(lambda x: enc.apply(p_enc, x), x_emb))
+        lambda: _flops(lambda x: enc.apply(p_enc, x), x_emb,
+                       extra=conv_extra(cfg.d_model, cfg.n_encoder_layers)))
 
     x_sum = jnp.asarray(rs.randn(B, C.PAIR_LEN, cfg.sum_d_model), dtype)
     dual = SplitConvTowers(cfg.dual_layers, cfg.sum_d_model,
                            cfg.aa_kernel_size, cfg.r, 'relu', cfg.dropout,
-                           dtype=dtype)
+                           dtype=dtype, use_pallas='auto')
     p_dual = dual.init(key, x_sum[:1])
     stages['dual_conv_towers'] = (
         lambda x: dual.apply(p_dual, x), x_sum,
-        lambda: _flops(lambda x: dual.apply(p_dual, x), x_sum))
+        lambda: _flops(lambda x: dual.apply(p_dual, x), x_sum,
+                       extra=conv_extra(cfg.sum_d_model, cfg.dual_layers)))
 
     att = SelfAttNet(cfg.sum_d_model, cfg.att_model, cfg.dim_feedforward,
                      cfg.nhead, cfg.max_len, cfg.cs_layers, dtype=dtype)
     p_att = att.init(key, x_sum[:1])
+    att_extra = 2 * cfg.cs_layers * attention_matmul_flops(
+        B, cfg.max_len, cfg.nhead, cfg.att_model // cfg.nhead)
     stages['self_att_stack'] = (
         lambda x: att.apply(p_att, x), x_sum,
-        lambda: _flops(lambda x: att.apply(p_att, x), x_sum))
+        lambda: _flops(lambda x: att.apply(p_att, x), x_sum,
+                       extra=att_extra))
 
     # conditioning embedders: carry a feature whose first element perturbs
     # the region input so iterations differ
